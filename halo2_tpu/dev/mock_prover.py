@@ -1,0 +1,365 @@
+"""MockProver: in-memory constraint checker with rich failure diagnostics.
+
+Mirrors `halo2_proofs/src/dev.rs` (`MockProver`, `CellValue`, `VerifyFailure`):
+synthesizes the circuit capturing every cell, selector, and copy constraint,
+then directly evaluates every gate row (with lazy, poison-propagating
+semantics for blinding rows), brute-forces lookup membership, and walks
+permutation cycles - full constraint checking with zero commitment cost.
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Set, Tuple, Type
+
+from ..fields import FieldElement
+from ..frontend import Value
+from ..frontend.floor_planner import SimpleFloorPlanner
+from ..plonk.assigned import Assigned
+from ..plonk.constraint_system import ConstraintSystem, Gate
+from ..plonk.error import InstanceTooLarge, NotEnoughRowsAvailable, SynthesisError
+from ..plonk.expression import ADVICE, FIXED, INSTANCE, Column, Selector
+from ..plonk import permutation as permutation_mod
+from ..poly import Rotation
+
+# Cell values (reference dev.rs CellValue)
+UNASSIGNED = ("unassigned",)
+
+
+def _poison(row: int):
+    return ("poison", row)
+
+
+def _is_poison(v) -> bool:
+    return isinstance(v, tuple) and v and v[0] == "poison"
+
+
+@dataclass
+class RegionInfo:
+    index: int
+    name: str
+    enabled_selectors: Dict[Selector, List[int]] = field(default_factory=dict)
+    cells: Set[Tuple[Column, int]] = field(default_factory=set)
+    rows: Optional[Tuple[int, int]] = None  # (start, end) inclusive
+
+    def track_row(self, row: int):
+        if self.rows is None:
+            self.rows = (row, row)
+        else:
+            self.rows = (min(self.rows[0], row), max(self.rows[1], row))
+
+
+@dataclass
+class VerifyFailure:
+    kind: str  # cell_not_assigned | constraint | constraint_poisoned | lookup | permutation
+    detail: str
+
+    def __str__(self):
+        return f"{self.kind}: {self.detail}"
+
+
+class MockProver:
+    """Runs a circuit against a complete in-memory backend."""
+
+    def __init__(self, field_cls: Type[FieldElement], k: int, cs: ConstraintSystem):
+        self.field = field_cls
+        self.p = field_cls.MODULUS
+        self.k = k
+        self.n = 1 << k
+        self.cs = cs
+        self.current_phase = 0
+        self.challenges: Dict[int, int] = {}
+        self.regions: List[RegionInfo] = []
+        self._current_region: Optional[RegionInfo] = None
+        self.fixed: List[List[Any]] = []
+        self.advice: List[List[Any]] = []
+        self.instance: List[List[Tuple[str, int]]] = []
+        self.selectors: List[List[bool]] = []
+        self.permutation: Optional[permutation_mod.Assembly] = None
+        self.usable_rows = 0
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def run(
+        cls,
+        k: int,
+        circuit,
+        instances: List[List[int]],
+        field_cls: Type[FieldElement] = None,
+    ) -> "MockProver":
+        from ..fields import Fp
+
+        field_cls = field_cls or Fp
+        n = 1 << k
+        cs = ConstraintSystem()
+        config = type(circuit).configure(cs)
+        if n < cs.minimum_rows():
+            raise NotEnoughRowsAvailable(k)
+        if len(instances) != cs.num_instance_columns:
+            raise SynthesisError("invalid number of instance columns")
+
+        blinding = cs.blinding_factors()
+        usable_rows = n - (blinding + 1)
+        prover = cls(field_cls, k, cs)
+        prover.usable_rows = usable_rows
+        for inst in instances:
+            if len(inst) > usable_rows:
+                raise InstanceTooLarge()
+        prover.instance = [
+            [("assigned", v % field_cls.MODULUS) for v in inst]
+            + [("padding", 0)] * (n - len(inst))
+            for inst in instances
+        ]
+        prover.fixed = [[UNASSIGNED] * n for _ in range(cs.num_fixed_columns)]
+        prover.advice = [
+            [UNASSIGNED] * usable_rows + [_poison(r) for r in range(usable_rows, n)]
+            for _ in range(cs.num_advice_columns)
+        ]
+        prover.selectors = [[False] * n for _ in range(cs.num_selectors)]
+        prover.permutation = permutation_mod.Assembly(cs.permutation, n)
+
+        rng = random.Random(0xC0FFEE)
+        for phase in cs.phases():
+            prover.current_phase = phase
+            prover.regions = []  # regions are re-tracked each phase pass
+            SimpleFloorPlanner.synthesize(prover, circuit, config, cs.constants)
+            for idx, ch_phase in enumerate(cs.challenge_phase):
+                if ch_phase == phase + 1 and idx not in prover.challenges:
+                    prover.challenges[idx] = rng.randrange(field_cls.MODULUS)
+        # also sample any phase-0-usable challenges not yet sampled
+        for idx, ch_phase in enumerate(cs.challenge_phase):
+            prover.challenges.setdefault(idx, rng.randrange(field_cls.MODULUS))
+        return prover
+
+    # ---------------- Assignment backend interface ----------------
+    def enter_region(self, name):
+        self._current_region = RegionInfo(len(self.regions), str(name))
+
+    def exit_region(self):
+        self.regions.append(self._current_region)
+        self._current_region = None
+
+    def annotate_column(self, annotation, column):
+        pass
+
+    def enable_selector(self, annotation, selector: Selector, row: int):
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        if self._current_region is not None:
+            self._current_region.enabled_selectors.setdefault(selector, []).append(row)
+            self._current_region.track_row(row)
+        self.selectors[selector.index][row] = True
+
+    def query_instance(self, column: Column, row: int) -> Value:
+        assert column.kind == INSTANCE
+        if row >= self.n:
+            raise NotEnoughRowsAvailable(self.k)
+        kind, v = self.instance[column.index][row]
+        return Value.known(v)
+
+    def assign_advice(self, annotation, column: Column, row: int, to):
+        if self.current_phase != column.phase:
+            return  # wrong phase: ignored (reference WitnessCollection behavior)
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        if self._current_region is not None:
+            self._current_region.cells.add((column, row))
+            self._current_region.track_row(row)
+        v = to()
+        if isinstance(v, Value) and not v.is_none():
+            a = v.force_value()
+            if isinstance(a, Assigned):
+                self.advice[column.index][row] = ("assigned", a.evaluate(self.p))
+            else:
+                self.advice[column.index][row] = ("assigned", int(a) % self.p)
+
+    def assign_fixed(self, annotation, column: Column, row: int, to):
+        if self.current_phase != 0:
+            return
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        if self._current_region is not None:
+            self._current_region.cells.add((column, row))
+            self._current_region.track_row(row)
+        v = to()
+        if isinstance(v, Value) and not v.is_none():
+            a = v.force_value()
+            if isinstance(a, Assigned):
+                self.fixed[column.index][row] = ("assigned", a.evaluate(self.p))
+            else:
+                self.fixed[column.index][row] = ("assigned", int(a) % self.p)
+
+    def copy(self, left_column: Column, left_row: int, right_column: Column, right_row: int):
+        if self.current_phase != 0:
+            return
+        self.permutation.copy(left_column, left_row, right_column, right_row)
+
+    def fill_from_row(self, column: Column, from_row: int, to: Value):
+        if self.current_phase != 0:
+            return
+        if isinstance(to, Value) and not to.is_none():
+            a = to.force_value()
+            v = a.evaluate(self.p) if isinstance(a, Assigned) else int(a) % self.p
+            for row in range(from_row, self.usable_rows):
+                self.fixed[column.index][row] = ("assigned", v)
+
+    def get_challenge(self, challenge) -> Value:
+        if challenge.index in self.challenges and challenge.phase <= self.current_phase:
+            return Value.known(self.challenges[challenge.index])
+        return Value.unknown()
+
+    def push_namespace(self, name):
+        pass
+
+    def pop_namespace(self, gadget_name=None):
+        pass
+
+    # ---------------- verification ----------------
+    def _cell_value(self, kind: str, col: int, row: int):
+        """Returns ('real', int) or ('poison',) for gate evaluation."""
+        row %= self.n
+        if kind == FIXED:
+            v = self.fixed[col][row]
+        elif kind == ADVICE:
+            v = self.advice[col][row]
+        else:
+            iv = self.instance[col][row]
+            return ("real", iv[1])
+        if v is UNASSIGNED:
+            return ("real", 0)  # unassigned treated as zero in gate eval
+        if _is_poison(v):
+            return ("poison",)
+        return ("real", v[1])
+
+    def _eval_expr(self, expr, row: int):
+        p = self.p
+
+        def lazy_product(a, b):
+            if a[0] == "real" and a[1] == 0:
+                return ("real", 0)
+            if a[0] == "poison" or b[0] == "poison":
+                return ("poison",)
+            return ("real", a[1] * b[1] % p)
+
+        return expr.evaluate(
+            constant=lambda c: ("real", c % p),
+            selector=lambda s: ("real", 1 if self.selectors[s.index][row] else 0),
+            fixed=lambda q: self._cell_value(FIXED, q.column_index, row + q.rotation.i),
+            advice=lambda q: self._cell_value(ADVICE, q.column_index, row + q.rotation.i),
+            instance=lambda q: self._cell_value(INSTANCE, q.column_index, row + q.rotation.i),
+            challenge=lambda c: ("real", self.challenges.get(c.index, 0)),
+            negated=lambda a: a if a[0] == "poison" else ("real", (-a[1]) % p),
+            sum_=lambda a, b: ("poison",)
+            if a[0] == "poison" or b[0] == "poison"
+            else ("real", (a[1] + b[1]) % p),
+            product=lazy_product,
+            scaled=lambda a, f: a if a[0] == "poison" else ("real", a[1] * f % p),
+        )
+
+    def verify(self) -> List[VerifyFailure]:
+        failures: List[VerifyFailure] = []
+        p = self.p
+
+        # 1. CellNotAssigned (dev.rs:744-784)
+        for region in self.regions:
+            for selector, rows in region.enabled_selectors.items():
+                for gate in self.cs.gates:
+                    if selector not in gate.queried_selectors:
+                        continue
+                    for row in rows:
+                        for column, rotation in gate.queried_cells:
+                            cell_row = (row + rotation.i) % self.n
+                            if column.kind == INSTANCE:
+                                continue
+                            if (column, cell_row) in region.cells:
+                                continue
+                            store = self.fixed if column.kind == FIXED else self.advice
+                            if store[column.index][cell_row] is UNASSIGNED:
+                                failures.append(
+                                    VerifyFailure(
+                                        "cell_not_assigned",
+                                        f"gate '{gate.name}' region '{region.name}' "
+                                        f"{column} row {cell_row}",
+                                    )
+                                )
+
+        # 2. Gate constraints at every row (poison semantics)
+        for gate_idx, gate in enumerate(self.cs.gates):
+            for poly_idx, poly in enumerate(gate.polys):
+                for row in range(self.n):
+                    v = self._eval_expr(poly, row)
+                    if v[0] == "poison":
+                        failures.append(
+                            VerifyFailure(
+                                "constraint_poisoned",
+                                f"gate {gate_idx} '{gate.name}' constraint "
+                                f"'{gate.constraint_names[poly_idx]}' at row {row}",
+                            )
+                        )
+                    elif v[1] != 0:
+                        failures.append(
+                            VerifyFailure(
+                                "constraint",
+                                f"gate {gate_idx} '{gate.name}' constraint "
+                                f"'{gate.constraint_names[poly_idx]}' not satisfied at row {row}",
+                            )
+                        )
+
+        # 3. Lookups: brute-force membership over usable rows
+        for lk_idx, lk in enumerate(self.cs.lookups):
+            table: Set[Tuple[int, ...]] = set()
+            for row in range(self.usable_rows):
+                entry = tuple(
+                    self._eval_expr(te, row)[1] if self._eval_expr(te, row)[0] == "real" else None
+                    for te in lk.table_expressions
+                )
+                table.add(entry)
+            for row in range(self.usable_rows):
+                inputs = tuple(
+                    self._eval_expr(ie, row)[1] if self._eval_expr(ie, row)[0] == "real" else None
+                    for ie in lk.input_expressions
+                )
+                if inputs not in table:
+                    failures.append(
+                        VerifyFailure(
+                            "lookup",
+                            f"lookup {lk_idx} '{lk.name}' input {inputs} at row {row} not in table",
+                        )
+                    )
+
+        # 4. Permutation cycle value equality
+        cols = self.cs.permutation.columns
+        for i, column in enumerate(cols):
+            for row in range(self.n):
+                ci, ri = self.permutation.mapping[i][row]
+                if (i, row) == (ci, ri):
+                    continue
+                a = self._perm_value(column, row)
+                b = self._perm_value(cols[ci], ri)
+                if a != b:
+                    failures.append(
+                        VerifyFailure(
+                            "permutation",
+                            f"copy constraint {column} row {row} != {cols[ci]} row {ri}"
+                            f" ({a} vs {b})",
+                        )
+                    )
+        return failures
+
+    def _perm_value(self, column: Column, row: int):
+        if column.kind == INSTANCE:
+            return self.instance[column.index][row][1]
+        store = self.fixed if column.kind == FIXED else self.advice
+        v = store[column.index][row]
+        if v is UNASSIGNED:
+            return 0
+        if _is_poison(v):
+            return ("poison", row)
+        return v[1]
+
+    def assert_satisfied(self):
+        failures = self.verify()
+        if failures:
+            msg = "\n".join(str(f) for f in failures[:20])
+            raise AssertionError(f"circuit is not satisfied:\n{msg}")
