@@ -1,0 +1,224 @@
+"""Quotient (h) polynomial evaluation engine.
+
+TPU-native counterpart of the reference's `plonk/evaluation.rs`: all gate,
+permutation, and lookup constraints are evaluated over the extended coset
+domain as batched device tensor programs (FVec ops lower to XLA), folded with
+powers of y in exactly the verifier's expression order
+(`plonk/verifier.rs:245-327`, `permutation/verifier.rs:115-196`,
+`lookup/verifier.rs:80-167`).
+
+This v1 engine materializes full extended-domain vectors (the reference's
+memory-optimized *part-wise* walk - evaluation.rs:394-975 - is the planned
+sharding axis; the domain layer already provides `coeff_to_extended_part` /
+`lagrange_vecs_to_extended` for it).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+
+from ..poly import COEFF, EXTENDED, LAGRANGE, FVec, Polynomial, Rotation
+from ..ops.ntt import powers
+from .expression import ADVICE, FIXED, INSTANCE, Expression
+
+
+def evaluate_expr_rows(
+    expr: Expression,
+    n: int,
+    p: int,
+    fixed: List[List[int]],
+    advice: List[List[int]],
+    instance: List[List[int]],
+    challenges: List[int],
+) -> List[int]:
+    """Evaluate an expression over all n rows of Lagrange-basis columns with
+    wrapping rotations (reference plonk/evaluation.rs free `evaluate`)."""
+
+    def rot(col: List[int], r: int) -> List[int]:
+        if r == 0:
+            return col
+        return col[r % n :] + col[: r % n]
+
+    return expr.evaluate(
+        constant=lambda c: [c % p] * n,
+        selector=lambda s: (_ for _ in ()).throw(
+            ValueError("virtual selectors are removed during optimization")
+        ),
+        fixed=lambda q: rot(fixed[q.column_index], q.rotation.i),
+        advice=lambda q: rot(advice[q.column_index], q.rotation.i),
+        instance=lambda q: rot(instance[q.column_index], q.rotation.i),
+        challenge=lambda c: [challenges[c.index]] * n,
+        negated=lambda a: [(-x) % p for x in a],
+        sum_=lambda a, b: [(x + y) % p for x, y in zip(a, b)],
+        product=lambda a, b: [(x * y) % p for x, y in zip(a, b)],
+        scaled=lambda a, f: [(x * f) % p for x in a],
+    )
+
+
+class Evaluator:
+    """Extended-domain constraint evaluator bound to a proving key."""
+
+    def __init__(self, pk):
+        self.pk = pk
+        self.domain = pk.vk.domain
+        self.field = pk.vk.curve.SCALAR
+
+    def evaluate_h(
+        self,
+        advice_polys: List[List[Polynomial]],  # per proof, coeff basis
+        instance_polys: List[List[Polynomial]],
+        challenges: List[int],
+        y: int,
+        beta: int,
+        gamma: int,
+        theta: int,
+        lookups: List[List],  # per proof: CommittedLookup
+        permutations: List,  # per proof: CommittedPermutation (sets)
+    ) -> Polynomial:
+        pk = self.pk
+        domain = self.domain
+        F = self.field
+        p = F.MODULUS
+        cs = pk.vk.cs
+        ext_n = domain.extended_n
+
+        ext_cache: Dict[int, FVec] = {}
+
+        def ext(poly: Polynomial) -> FVec:
+            key = id(poly)
+            if key not in ext_cache:
+                ext_cache[key] = domain.coeff_to_extended(poly.copy()).vec
+            return ext_cache[key]
+
+        def rot_ext(vec: FVec, r: int) -> FVec:
+            step = (1 << (domain.extended_k - domain.k)) * r
+            return vec.rotate(step)
+
+        fixed_ext = [ext(poly) for poly in pk.fixed_polys]
+        l0 = ext(pk.l0)
+        l_last = ext(pk.l_last)
+        l_active = ext(pk.l_active_row)
+
+        # coset point coordinates zeta * ext_omega^i (for the beta*X term)
+        pw = powers(domain.extended_omega, ext_n, domain.ctx)
+        zeta_c = domain.ctx.const(domain.g_coset)
+        coset_x = FVec(self.field, domain.ctx.mul(pw, jnp.broadcast_to(zeta_c, pw.shape)))
+
+        def const_vec(c: int) -> FVec:
+            return FVec.fill(F, ext_n, c)
+
+        one = const_vec(1)
+
+        h: Optional[FVec] = None
+
+        def fold(value: FVec):
+            nonlocal h
+            if h is None:
+                h = value
+            else:
+                h = h * F(y) + value
+
+        def eval_expr(expr: Expression, advice_ext, instance_ext) -> FVec:
+            return expr.evaluate(
+                constant=lambda c: const_vec(c),
+                selector=lambda s: (_ for _ in ()).throw(
+                    ValueError("virtual selector in evaluate_h")
+                ),
+                fixed=lambda q: rot_ext(fixed_ext[q.column_index], q.rotation.i),
+                advice=lambda q: rot_ext(advice_ext[q.column_index], q.rotation.i),
+                instance=lambda q: rot_ext(instance_ext[q.column_index], q.rotation.i),
+                challenge=lambda c: const_vec(challenges[c.index]),
+                negated=lambda a: -a,
+                sum_=lambda a, b: a + b,
+                product=lambda a, b: a * b,
+                scaled=lambda a, f: a * F(f),
+            )
+
+        blinding = cs.blinding_factors()
+        last_rotation = -(blinding + 1)
+        chunk_len = pk.vk.cs_degree - 2
+        delta = F.DELTA
+
+        for proof_idx in range(len(advice_polys)):
+            advice_ext = [ext(poly) for poly in advice_polys[proof_idx]]
+            instance_ext = [ext(poly) for poly in instance_polys[proof_idx]]
+
+            # ---- custom gates ----
+            for gate in cs.gates:
+                for poly in gate.polys:
+                    fold(eval_expr(poly, advice_ext, instance_ext))
+
+            # ---- permutation argument ----
+            perm = permutations[proof_idx]
+            sets = perm.sets
+            if sets:
+                z_ext = [ext(s.poly) for s in sets]
+                # l_0(X) * (1 - z_0(X))
+                fold(l0 * (one - z_ext[0]))
+                # l_last(X) * (z_l(X)^2 - z_l(X))
+                zl = z_ext[-1]
+                fold(l_last * (zl * zl - zl))
+                # l_0(X) * (z_i(X) - z_{i-1}(omega^last X))
+                for i in range(1, len(sets)):
+                    fold(l0 * (z_ext[i] - rot_ext(z_ext[i - 1], last_rotation)))
+                # product constraints per chunk
+                sigma_ext = [ext(sp) for sp in pk.permutation.polys]
+                columns = cs.permutation.columns
+                for chunk_index, set_i in enumerate(sets):
+                    cols = columns[chunk_index * chunk_len : (chunk_index + 1) * chunk_len]
+                    sigmas = sigma_ext[chunk_index * chunk_len : (chunk_index + 1) * chunk_len]
+                    left = rot_ext(z_ext[chunk_index], 1)
+                    for col, sigma in zip(cols, sigmas):
+                        cv = self._column_ext(col, fixed_ext, advice_ext, instance_ext)
+                        left = left * (cv + sigma * F(beta) + F(gamma))
+                    right = z_ext[chunk_index]
+                    delta_pow = pow(delta, chunk_index * chunk_len, p)
+                    cur = beta * delta_pow % p
+                    for col in cols:
+                        cv = self._column_ext(col, fixed_ext, advice_ext, instance_ext)
+                        right = right * (cv + coset_x * F(cur) + F(gamma))
+                        cur = cur * delta % p
+                    fold(l_active * (left - right))
+
+            # ---- lookups ----
+            for lk_idx, committed in enumerate(lookups[proof_idx]):
+                argument = cs.lookups[lk_idx]
+                z = ext(committed.product_poly)
+                a_prime = ext(committed.permuted_input_poly)
+                s_prime = ext(committed.permuted_table_poly)
+                fold(l0 * (one - z))
+                fold(l_last * (z * z - z))
+                # compressed expressions over the extended domain
+                def compress(expressions):
+                    acc = const_vec(0)
+                    for e in expressions:
+                        acc = acc * F(theta) + eval_expr(e, advice_ext, instance_ext)
+                    return acc
+
+                inp = compress(argument.input_expressions)
+                tab = compress(argument.table_expressions)
+                left = rot_ext(z, 1) * (a_prime + F(beta)) * (s_prime + F(gamma))
+                right = z * (inp + F(beta)) * (tab + F(gamma))
+                fold(l_active * (left - right))
+                fold(l0 * (a_prime - s_prime))
+                fold(
+                    l_active
+                    * (a_prime - s_prime)
+                    * (a_prime - rot_ext(a_prime, -1))
+                )
+
+        assert h is not None, "no constraints to evaluate"
+        return Polynomial(EXTENDED, h)
+
+    def _column_ext(self, column, fixed_ext, advice_ext, instance_ext) -> FVec:
+        if column.kind == FIXED:
+            return fixed_ext_lookup(self.pk, column, fixed_ext)
+        if column.kind == ADVICE:
+            return advice_ext[column.index]
+        return instance_ext[column.index]
+
+
+def fixed_ext_lookup(pk, column, fixed_ext):
+    return fixed_ext[column.index]

@@ -1,0 +1,277 @@
+"""Key generation (reference `halo2_proofs/src/plonk/keygen.rs`).
+
+`keygen_vk`: configure -> synthesize into an Assembly (fixed cells,
+selectors, copy constraints) -> batch-invert fixed -> compress selectors ->
+build permutation VK (sigma commitments) -> commit fixed columns -> VK with
+transcript_repr.
+
+`keygen_pk`: adds coeff-form fixed polys, permutation PK (sigma values +
+polys), and the l0/l_last/l_active_row helper polynomials.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional, Type
+
+from ..curves import Curve, Point
+from ..fields import FieldElement
+from ..frontend import Value
+from ..frontend.floor_planner import SimpleFloorPlanner
+from ..poly import COEFF, LAGRANGE, FVec, Polynomial, Rotation
+from ..poly.commitment import Blind
+from ..poly.domain import EvaluationDomain
+from . import permutation as permutation_mod
+from .assigned import Assigned, batch_invert_assigned
+from .constraint_system import ConstraintSystem
+from .error import NotEnoughRowsAvailable
+from .expression import Column, Selector
+
+
+class PermutationVerifyingKey:
+    def __init__(self, commitments: List[Point]):
+        self.commitments = commitments
+
+
+class PermutationProvingKey:
+    def __init__(self, sigma_values: List[List[int]], polys: List[Polynomial]):
+        self.permutations = sigma_values  # lagrange values per column
+        self.polys = polys  # coeff basis
+
+
+class VerifyingKey:
+    def __init__(
+        self,
+        curve: Type[Curve],
+        domain: EvaluationDomain,
+        fixed_commitments: List[Point],
+        permutation: PermutationVerifyingKey,
+        cs: ConstraintSystem,
+        selectors: List[List[bool]],
+    ):
+        self.curve = curve
+        self.domain = domain
+        self.fixed_commitments = fixed_commitments
+        self.permutation = permutation
+        self.cs = cs
+        self.cs_degree = cs.degree()
+        self.selectors = selectors
+        self.transcript_repr = self._compute_transcript_repr()
+
+    def _compute_transcript_repr(self) -> int:
+        """Scalar binding the VK (reference plonk.rs:280-315).
+
+        The reference hashes the Rust Debug string of the pinned VK with
+        Blake2b(person=b"Halo2-Verify-Key"). We hash a deterministic pinned
+        representation with the same construction; byte-parity with the Rust
+        Debug format is tracked parity work (docs/PARITY.md).
+        """
+        s = self.pinned_repr()
+        h = hashlib.blake2b(digest_size=64, person=b"Halo2-Verify-Key")
+        h.update(len(s).to_bytes(8, "little"))
+        h.update(s.encode())
+        return self.curve.SCALAR.from_uniform_bytes(h.digest()).v
+
+    def pinned_repr(self) -> str:
+        parts = [
+            f"base=0x{self.curve.BASE.MODULUS:x}",
+            f"scalar=0x{self.curve.SCALAR.MODULUS:x}",
+            f"k={self.domain.k}",
+            f"extended_k={self.domain.extended_k}",
+            f"omega=0x{self.domain.omega:x}",
+            "fixed=" + ",".join(c.to_bytes().hex() for c in self.fixed_commitments),
+            "perm=" + ",".join(c.to_bytes().hex() for c in self.permutation.commitments),
+            "gates=" + ";".join(p.identifier() for g in self.cs.gates for p in g.polys),
+            "adv_q=" + ",".join(f"{c.index}:{r.i}" for c, r in self.cs.advice_queries),
+            "fix_q=" + ",".join(f"{c.index}:{r.i}" for c, r in self.cs.fixed_queries),
+            "inst_q=" + ",".join(f"{c.index}:{r.i}" for c, r in self.cs.instance_queries),
+            "perm_cols=" + ",".join(f"{c.kind}{c.index}" for c in self.cs.permutation.columns),
+            "lookups="
+            + ";".join(
+                ",".join(e.identifier() for e in lk.input_expressions)
+                + "|"
+                + ",".join(e.identifier() for e in lk.table_expressions)
+                for lk in self.cs.lookups
+            ),
+        ]
+        return "\n".join(parts)
+
+    def hash_into(self, transcript):
+        transcript.common_scalar(self.curve.SCALAR(self.transcript_repr))
+
+
+class ProvingKey:
+    def __init__(
+        self,
+        vk: VerifyingKey,
+        l0: Polynomial,
+        l_last: Polynomial,
+        l_active_row: Polynomial,
+        fixed_values: List[Polynomial],
+        fixed_polys: List[Polynomial],
+        permutation: PermutationProvingKey,
+    ):
+        self.vk = vk
+        self.l0 = l0
+        self.l_last = l_last
+        self.l_active_row = l_active_row
+        self.fixed_values = fixed_values
+        self.fixed_polys = fixed_polys
+        self.permutation = permutation
+
+    def get_vk(self) -> VerifyingKey:
+        return self.vk
+
+
+class Assembly:
+    """Keygen-time Assignment backend: collects fixed cells, selectors, and
+    copies; ignores advice (reference keygen.rs:53-204)."""
+
+    def __init__(self, field: Type[FieldElement], k: int, cs: ConstraintSystem, n: int):
+        self.field = field
+        self.k = k
+        self.n = n
+        self.fixed = [[Assigned.zero() for _ in range(n)] for _ in range(cs.num_fixed_columns)]
+        self.permutation = permutation_mod.Assembly(cs.permutation, n)
+        self.selectors = [[False] * n for _ in range(cs.num_selectors)]
+        self.usable_rows = n - (cs.blinding_factors() + 1)
+
+    # Assignment interface
+    def enter_region(self, name):
+        pass
+
+    def exit_region(self):
+        pass
+
+    def annotate_column(self, annotation, column):
+        pass
+
+    def enable_selector(self, annotation, selector: Selector, row: int):
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        self.selectors[selector.index][row] = True
+
+    def query_instance(self, column, row: int) -> Value:
+        if row >= self.n:
+            raise NotEnoughRowsAvailable(self.k)
+        return Value.unknown()
+
+    def assign_advice(self, annotation, column, row, to):
+        pass  # advice is not collected at keygen time
+
+    def assign_fixed(self, annotation, column, row: int, to):
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        v = to()
+        if isinstance(v, Value) and not v.is_none():
+            a = v.force_value()
+            self.fixed[column.index][row] = a if isinstance(a, Assigned) else Assigned(int(a))
+
+    def copy(self, l_col, l_row, r_col, r_row):
+        self.permutation.copy(l_col, l_row, r_col, r_row)
+
+    def fill_from_row(self, column, from_row: int, to: Value):
+        if from_row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        if isinstance(to, Value) and not to.is_none():
+            a = to.force_value()
+            a = a if isinstance(a, Assigned) else Assigned(int(a))
+            for row in range(from_row, self.usable_rows):
+                self.fixed[column.index][row] = a
+
+    def get_challenge(self, challenge) -> Value:
+        return Value.unknown()
+
+    def push_namespace(self, name):
+        pass
+
+    def pop_namespace(self, gadget_name=None):
+        pass
+
+
+def create_domain(field: Type[FieldElement], k: int, circuit_cls):
+    cs = ConstraintSystem()
+    config = circuit_cls.configure(cs)
+    degree = cs.degree()
+    domain = EvaluationDomain(field, degree, k)
+    return domain, cs, config
+
+
+def keygen_vk(params, circuit) -> VerifyingKey:
+    curve = params.curve
+    field = curve.SCALAR
+    k = params.k
+    n = params.n
+    domain, cs, config = create_domain(field, k, type(circuit))
+    if n < cs.minimum_rows():
+        raise NotEnoughRowsAvailable(k)
+
+    assembly = Assembly(field, k, cs, n)
+    SimpleFloorPlanner.synthesize(assembly, circuit, config, cs.constants)
+
+    fixed_cols = batch_invert_assigned(field.MODULUS, assembly.fixed)
+    selectors_snapshot = [list(s) for s in assembly.selectors]
+    selector_polys = cs.compress_selectors(assembly.selectors)
+    fixed_cols.extend(selector_polys)
+
+    sigma_values = assembly.permutation.sigma_values(field, domain.omega)
+    perm_commitments = [
+        params.commit_lagrange(col, Blind()) for col in sigma_values
+    ]
+    permutation_vk = PermutationVerifyingKey(perm_commitments)
+
+    fixed_commitments = [params.commit_lagrange(col, Blind()) for col in fixed_cols]
+
+    return VerifyingKey(
+        curve, domain, fixed_commitments, permutation_vk, cs, selectors_snapshot
+    )
+
+
+def keygen_pk(params, vk: VerifyingKey, circuit) -> ProvingKey:
+    curve = params.curve
+    field = curve.SCALAR
+    k = params.k
+    n = params.n
+    cs0 = ConstraintSystem()
+    config = type(circuit).configure(cs0)
+    if n < cs0.minimum_rows():
+        raise NotEnoughRowsAvailable(k)
+    domain = vk.domain
+
+    assembly = Assembly(field, k, cs0, n)
+    SimpleFloorPlanner.synthesize(assembly, circuit, config, cs0.constants)
+
+    fixed_cols = batch_invert_assigned(field.MODULUS, assembly.fixed)
+    selector_polys = cs0.compress_selectors(assembly.selectors)
+    fixed_cols.extend(selector_polys)
+
+    fixed_values = [
+        Polynomial(LAGRANGE, FVec.from_ints(field, col)) for col in fixed_cols
+    ]
+    fixed_polys = [domain.lagrange_to_coeff(p.copy()) for p in fixed_values]
+
+    sigma_values = assembly.permutation.sigma_values(field, domain.omega)
+    sigma_polys = [
+        domain.lagrange_to_coeff(Polynomial(LAGRANGE, FVec.from_ints(field, col)))
+        for col in sigma_values
+    ]
+    permutation_pk = PermutationProvingKey(sigma_values, sigma_polys)
+
+    blinding = vk.cs.blinding_factors()
+    l0_v = [0] * n
+    l0_v[0] = 1
+    l0 = domain.lagrange_to_coeff(Polynomial(LAGRANGE, FVec.from_ints(field, l0_v)))
+    l_blind_v = [0] * n
+    for i in range(n - blinding, n):
+        l_blind_v[i] = 1
+    l_last_v = [0] * n
+    l_last_v[n - blinding - 1] = 1
+    l_last = domain.lagrange_to_coeff(Polynomial(LAGRANGE, FVec.from_ints(field, l_last_v)))
+    l_active_v = [1 - (a + b) for a, b in zip(l_last_v, l_blind_v)]
+    l_active_row = domain.lagrange_to_coeff(
+        Polynomial(LAGRANGE, FVec.from_ints(field, l_active_v))
+    )
+
+    return ProvingKey(
+        vk, l0, l_last, l_active_row, fixed_values, fixed_polys, permutation_pk
+    )

@@ -1,0 +1,308 @@
+"""Proof creation (reference `halo2_proofs/src/plonk/prover.rs:44-707`).
+
+The strict Fiat-Shamir sequencing (commit -> squeeze -> commit) is preserved
+exactly; bulk math (NTT basis changes, extended-domain constraint folding)
+runs on device, transcript hashing stays on host (SURVEY.md "hard parts" #4).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from ..frontend import Value
+from ..frontend.floor_planner import SimpleFloorPlanner
+from ..poly import COEFF, LAGRANGE, FVec, Polynomial, Rotation, eval_polynomial_host
+from ..poly.commitment import Blind, ProverQuery
+from . import lookup_prover, permutation_prover, vanishing
+from .assigned import Assigned, batch_invert_assigned
+from .constraint_system import ConstraintSystem
+from .error import InstanceTooLarge, InvalidInstances, NotEnoughRowsAvailable
+from .evaluation import Evaluator
+from .keygen import ProvingKey
+
+
+class WitnessCollection:
+    """Per-phase advice collector (reference prover.rs:157-299)."""
+
+    def __init__(self, field, k: int, current_phase: int, cs: ConstraintSystem,
+                 instances: List[List[int]], challenges: Dict[int, int], usable_rows: int):
+        self.field = field
+        self.k = k
+        self.current_phase = current_phase
+        self.cs = cs
+        self.advice = [
+            [Assigned.zero() for _ in range(1 << k)] for _ in range(cs.num_advice_columns)
+        ]
+        self.instances = instances
+        self.challenges = challenges
+        self.usable_rows = usable_rows
+
+    def enter_region(self, name):
+        pass
+
+    def exit_region(self):
+        pass
+
+    def annotate_column(self, annotation, column):
+        pass
+
+    def enable_selector(self, annotation, selector, row):
+        pass  # selectors are compressed into fixed columns at keygen
+
+    def query_instance(self, column, row: int) -> Value:
+        if row >= (1 << self.k):
+            raise NotEnoughRowsAvailable(self.k)
+        return Value.known(self.instances[column.index][row])
+
+    def assign_advice(self, annotation, column, row: int, to):
+        if column.phase != self.current_phase:
+            return
+        if row >= self.usable_rows:
+            raise NotEnoughRowsAvailable(self.k)
+        v = to()
+        if isinstance(v, Value) and not v.is_none():
+            a = v.force_value()
+            self.advice[column.index][row] = a if isinstance(a, Assigned) else Assigned(int(a))
+
+    def assign_fixed(self, annotation, column, row, to):
+        pass
+
+    def copy(self, *args):
+        pass
+
+    def fill_from_row(self, *args):
+        pass
+
+    def get_challenge(self, challenge) -> Value:
+        if challenge.index in self.challenges:
+            return Value.known(self.challenges[challenge.index])
+        return Value.unknown()
+
+    def push_namespace(self, name):
+        pass
+
+    def pop_namespace(self, gadget_name=None):
+        pass
+
+
+def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[List[int]]],
+                 rng, transcript):
+    """Writes the proof into `transcript`; returns None (proof = transcript bytes)."""
+    vk = pk.vk
+    cs = vk.cs
+    domain = vk.domain
+    curve = params.curve
+    F = curve.SCALAR
+    p = F.MODULUS
+    n = params.n
+    query_instance = True  # IPA (multiopen/prover.rs:25); KZG passes False
+
+    for inst in instances:
+        if len(inst) != cs.num_instance_columns:
+            raise InvalidInstances()
+
+    vk.hash_into(transcript)
+
+    # ---- instances (prover.rs:94-149) ----
+    instance_values_all: List[List[List[int]]] = []
+    instance_polys_all: List[List[Polynomial]] = []
+    for inst in instances:
+        values_cols = []
+        for values in inst:
+            if len(values) > n - (cs.blinding_factors() + 1):
+                raise InstanceTooLarge()
+            col = [v % p for v in values] + [0] * (n - len(values))
+            if not query_instance:
+                for v in values:
+                    transcript.common_scalar(F(v))
+            values_cols.append(col)
+        if query_instance:
+            for col in values_cols:
+                c = params.commit_lagrange(col, Blind())
+                transcript.common_point(c)
+        polys = [
+            domain.lagrange_to_coeff(Polynomial(LAGRANGE, FVec.from_ints(F, col)))
+            for col in values_cols
+        ]
+        instance_values_all.append(values_cols)
+        instance_polys_all.append(polys)
+
+    # ---- advice, phase by phase (prover.rs:300-426) ----
+    config_cs = ConstraintSystem()
+    config = type(circuits[0]).configure(config_cs)
+
+    advice_values_all: List[List[Optional[List[int]]]] = [
+        [None] * cs.num_advice_columns for _ in circuits
+    ]
+    advice_blinds_all: List[List[Blind]] = [
+        [Blind() for _ in range(cs.num_advice_columns)] for _ in circuits
+    ]
+    challenges: Dict[int, int] = {}
+    unusable_rows_start = n - (cs.blinding_factors() + 1)
+
+    for current_phase in cs.phases():
+        column_indices = [
+            i for i, phase in enumerate(cs.advice_column_phase) if phase == current_phase
+        ]
+        for circuit_idx, circuit in enumerate(circuits):
+            witness = WitnessCollection(
+                F, params.k, current_phase, cs,
+                instance_values_all[circuit_idx], challenges, unusable_rows_start,
+            )
+            SimpleFloorPlanner.synthesize(witness, circuit, config, cs.constants)
+            cols = batch_invert_assigned(
+                p, [witness.advice[i] for i in column_indices]
+            )
+            # blinding rows + blinds
+            blinds = []
+            commitments = []
+            for col in cols:
+                for row in range(unusable_rows_start, n):
+                    col[row] = F.random(rng).v
+            for col in cols:
+                blind = Blind(F.random(rng).v)
+                blinds.append(blind)
+                commitments.append(params.commit_lagrange(col, blind))
+            for c in commitments:
+                transcript.write_point(c)
+            for idx, col, blind in zip(column_indices, cols, blinds):
+                advice_values_all[circuit_idx][idx] = col
+                advice_blinds_all[circuit_idx][idx] = blind
+        for index, phase in enumerate(cs.challenge_phase):
+            if phase == current_phase:
+                assert index not in challenges
+                challenges[index] = int(transcript.squeeze_challenge())
+
+    challenges = [challenges[i] for i in range(cs.num_challenges)]
+
+    # ---- lookups: permuted commitments (prover.rs:429-458) ----
+    theta = int(transcript.squeeze_challenge())
+    lookups_permuted = [
+        [
+            lookup_prover.commit_permuted(
+                argument, pk, params, domain, theta,
+                advice_values_all[i], [fp.vec.to_ints() for fp in pk.fixed_values],
+                instance_values_all[i], challenges, rng, transcript,
+            )
+            for argument in cs.lookups
+        ]
+        for i in range(len(circuits))
+    ]
+
+    # ---- permutations (prover.rs:467-486) ----
+    beta = int(transcript.squeeze_challenge())
+    gamma = int(transcript.squeeze_challenge())
+    fixed_ints = [fp.vec.to_ints() for fp in pk.fixed_values]
+    permutations = [
+        permutation_prover.commit_permutation(
+            params, pk, advice_values_all[i], fixed_ints, instance_values_all[i],
+            beta, gamma, rng, transcript,
+        )
+        for i in range(len(circuits))
+    ]
+
+    lookups_committed = [
+        [
+            lookup_prover.commit_product(perm, pk, params, domain, beta, gamma, rng, transcript)
+            for perm in proof_lookups
+        ]
+        for proof_lookups in lookups_permuted
+    ]
+
+    vanishing_committed = vanishing.commit_random(params, domain, rng, transcript)
+
+    y = int(transcript.squeeze_challenge())
+
+    # advice to coeff basis
+    advice_polys_all = [
+        [
+            domain.lagrange_to_coeff(Polynomial(LAGRANGE, FVec.from_ints(F, col)))
+            for col in advice_values_all[i]
+        ]
+        for i in range(len(circuits))
+    ]
+
+    # ---- h(X) (prover.rs:529-548) ----
+    ev = Evaluator(pk)
+    h_poly = ev.evaluate_h(
+        advice_polys_all, instance_polys_all, challenges,
+        y, beta, gamma, theta, lookups_committed, permutations,
+    )
+    vanishing_constructed = vanishing.construct(
+        vanishing_committed, params, domain, h_poly, rng, transcript
+    )
+
+    x = int(transcript.squeeze_challenge())
+    xn = pow(x, n, p)
+
+    if query_instance:
+        for polys in instance_polys_all:
+            for column, at in cs.instance_queries:
+                v = eval_polynomial_host(
+                    polys[column.index].vec.to_ints(), domain.rotate_omega(x, at), p
+                )
+                transcript.write_scalar(F(v))
+
+    advice_ints_cache = [
+        [poly.vec.to_ints() for poly in polys] for polys in advice_polys_all
+    ]
+    for proof_idx in range(len(circuits)):
+        for column, at in cs.advice_queries:
+            v = eval_polynomial_host(
+                advice_ints_cache[proof_idx][column.index], domain.rotate_omega(x, at), p
+            )
+            transcript.write_scalar(F(v))
+
+    fixed_ints_coeff = [fp.vec.to_ints() for fp in pk.fixed_polys]
+    for column, at in cs.fixed_queries:
+        v = eval_polynomial_host(fixed_ints_coeff[column.index], domain.rotate_omega(x, at), p)
+        transcript.write_scalar(F(v))
+
+    vanishing_evaluated = vanishing.evaluate(vanishing_constructed, x, xn, domain, transcript)
+
+    permutation_prover.evaluate_permutation_common(pk, x, transcript)
+
+    permutations_evaluated = [
+        permutation_prover.evaluate_permutation(perm, pk, x, transcript)
+        for perm in permutations
+    ]
+    lookups_evaluated = [
+        [lookup_prover.evaluate_lookup(lk, pk, x, transcript) for lk in proof_lookups]
+        for proof_lookups in lookups_committed
+    ]
+
+    # ---- multiopen queries (prover.rs:643-695) ----
+    queries: List[ProverQuery] = []
+    for proof_idx in range(len(circuits)):
+        if query_instance:
+            for column, at in cs.instance_queries:
+                queries.append(
+                    ProverQuery(
+                        domain.rotate_omega(x, at),
+                        instance_polys_all[proof_idx][column.index],
+                        Blind(),
+                    )
+                )
+        for column, at in cs.advice_queries:
+            queries.append(
+                ProverQuery(
+                    domain.rotate_omega(x, at),
+                    advice_polys_all[proof_idx][column.index],
+                    advice_blinds_all[proof_idx][column.index],
+                )
+            )
+        queries.extend(
+            permutation_prover.open_permutation(permutations_evaluated[proof_idx], pk, x)
+        )
+        for lk in lookups_evaluated[proof_idx]:
+            queries.extend(lookup_prover.open_lookup(lk, pk, x))
+    for column, at in cs.fixed_queries:
+        queries.append(
+            ProverQuery(domain.rotate_omega(x, at), pk.fixed_polys[column.index], Blind())
+        )
+    queries.extend(permutation_prover.open_permutation_common(pk, x))
+    queries.extend(vanishing.open_vanishing(vanishing_evaluated, F, x))
+
+    from ..poly.ipa import multiopen_prove
+
+    multiopen_prove(params, rng, transcript, queries)

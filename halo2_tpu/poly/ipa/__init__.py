@@ -1,0 +1,474 @@
+"""Inner-product-argument (Halo) polynomial commitment scheme over Pasta.
+
+Mirrors `halo2_proofs/src/poly/ipa/`:
+  * `ParamsIPA` {g, g_lagrange, w, u} derived from
+    hash_to_curve("Halo2-Parameters") (commitment.rs:160-201)
+  * the log-round opening argument (commitment/prover.rs:29-153 /
+    verifier.rs) with blinded s-poly, xi/z challenges and u_j folds
+  * the x1/x2/x3/x4 multiopen protocol grouping queries by point sets
+    (multiopen.rs / multiopen/{prover,verifier}.rs)
+  * `MSMIPA` accumulation and `GuardIPA` + Single/Accumulator strategies
+    (msm.rs, strategy.rs)
+
+QUERY_INSTANCE = True: instance columns are committed and absorbed as common
+points (multiopen/prover.rs:25).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence, Tuple, Type
+
+from ...curves import Curve, Point
+from ...fields import FieldElement
+from ...hash_to_curve import hash_to_curve
+from ...ops.msm import MSMBases, msm
+from ...poly import COEFF, LAGRANGE, FVec, Polynomial, eval_polynomial_host, lagrange_interpolate_host
+from ..commitment import (
+    Blind,
+    ProverQuery,
+    VerifierQuery,
+    compute_inner_product,
+    construct_intermediate_sets,
+    kate_division,
+)
+
+QUERY_INSTANCE = True
+
+
+class ParamsIPA:
+    def __init__(self, curve: Type[Curve], k: int, g: List[Point], g_lagrange: List[Point], w: Point, u: Point):
+        self.curve = curve
+        self.k = k
+        self.n = 1 << k
+        self.g = g
+        self.g_lagrange = g_lagrange
+        self.w = w
+        self.u = u
+        self._bases_g = MSMBases(curve, g + [w])
+        self._bases_lagrange = MSMBases(curve, g_lagrange + [w])
+
+    # -- construction (commitment.rs new()) --
+    @classmethod
+    def new(cls, curve: Type[Curve], k: int) -> "ParamsIPA":
+        assert k < 32
+        n = 1 << k
+        hasher = hash_to_curve(curve, "Halo2-Parameters")
+        g = []
+        for i in range(n):
+            msg = b"\x00" + int(i).to_bytes(4, "little")
+            g.append(hasher(msg))
+        g_lagrange = _g_to_lagrange(curve, g, k)
+        w = hasher(b"\x01")
+        u = hasher(b"\x02")
+        return cls(curve, k, g, g_lagrange, w, u)
+
+    _cache: Dict[Tuple[str, int], "ParamsIPA"] = {}
+
+    @classmethod
+    def cached(cls, curve: Type[Curve], k: int) -> "ParamsIPA":
+        key = (curve.__name__, k)
+        if key not in cls._cache:
+            # derive from a larger cached params if available (downsize)
+            bigger = [kk for (cn, kk) in cls._cache if cn == curve.__name__ and kk > k]
+            if bigger:
+                big = cls._cache[(curve.__name__, min(bigger))]
+                g = big.g[: 1 << k]
+                cls._cache[key] = cls(curve, k, g, _g_to_lagrange(curve, g, k), big.w, big.u)
+            else:
+                cls._cache[key] = cls.new(curve, k)
+        return cls._cache[key]
+
+    # -- commitments --
+    def commit_lagrange(self, values: Sequence[int], blind: Blind) -> Point:
+        scalars = list(values) + [blind.value % self.curve.SCALAR.MODULUS]
+        return msm(scalars, self._bases_lagrange, self.curve)
+
+    def commit(self, coeffs: Sequence[int], blind: Blind) -> Point:
+        scalars = list(coeffs) + [blind.value % self.curve.SCALAR.MODULUS]
+        return msm(scalars, self._bases_g, self.curve)
+
+    def empty_msm(self) -> "MSMIPA":
+        return MSMIPA(self)
+
+    # -- serialization (commitment.rs write/read) --
+    def write(self) -> bytes:
+        out = [self.k.to_bytes(4, "little")]
+        for pt in self.g:
+            out.append(pt.to_bytes())
+        for pt in self.g_lagrange:
+            out.append(pt.to_bytes())
+        out.append(self.w.to_bytes())
+        out.append(self.u.to_bytes())
+        return b"".join(out)
+
+    @classmethod
+    def read(cls, curve: Type[Curve], data: bytes) -> "ParamsIPA":
+        k = int.from_bytes(data[:4], "little")
+        n = 1 << k
+        off = 4
+        pts = []
+        for _ in range(2 * n + 2):
+            pts.append(curve.from_bytes(data[off : off + 32]))
+            off += 32
+        return cls(curve, k, pts[:n], pts[n : 2 * n], pts[2 * n], pts[2 * n + 1])
+
+
+def _g_to_lagrange(curve: Type[Curve], g: List[Point], k: int) -> List[Point]:
+    """Inverse NTT over the group: monomial-basis generators -> Lagrange basis
+    (reference arithmetic.rs g_to_lagrange)."""
+    from ...curves import JAC_IDENTITY, batch_to_affine, jac_add, jac_double, jac_mul
+
+    F = curve.SCALAR
+    q = F.MODULUS
+    p = curve.p()
+    n = 1 << k
+    omega_inv = pow(pow(F.ROOT_OF_UNITY, 1 << (F.S - k), q), -1, q)
+    n_inv = pow(n, -1, q)
+    # iterative radix-2 NTT over jacobian points with omega_inv twiddles
+    a = [pt.jacobian() for pt in g]
+    # bit reversal
+    rev = 0
+    for i in range(1, n):
+        bit = n >> 1
+        while rev & bit:
+            rev ^= bit
+            bit >>= 1
+        rev |= bit
+        if i < rev:
+            a[i], a[rev] = a[rev], a[i]
+    m = 1
+    while m < n:
+        w_m = pow(omega_inv, n // (2 * m), q)
+        for s in range(0, n, 2 * m):
+            w = 1
+            for j in range(m):
+                t = jac_mul(a[s + j + m], w, p)
+                u_ = a[s + j]
+                a[s + j] = jac_add(u_, t, p)
+                a[s + j + m] = jac_add(u_, (t[0], (-t[1]) % p, t[2]), p)
+                w = w * w_m % q
+        m *= 2
+    a = [jac_mul(pt, n_inv, p) for pt in a]
+    return [
+        Point(curve, xy) if xy else Point(curve, None) for xy in batch_to_affine(a, p)
+    ]
+
+
+class MSMIPA:
+    """Deferred MSM accumulator (reference ipa/msm.rs)."""
+
+    def __init__(self, params: ParamsIPA):
+        self.params = params
+        self.q = params.curve.SCALAR.MODULUS
+        self.terms: List[Tuple[int, Point]] = []
+        self.g_scalars: Optional[List[int]] = None
+        self.w_scalar: Optional[int] = None
+        self.u_scalar: Optional[int] = None
+
+    def clone(self) -> "MSMIPA":
+        m = MSMIPA(self.params)
+        m.terms = list(self.terms)
+        m.g_scalars = list(self.g_scalars) if self.g_scalars else None
+        m.w_scalar = self.w_scalar
+        m.u_scalar = self.u_scalar
+        return m
+
+    def append_term(self, scalar: int, point: Point):
+        self.terms.append((scalar % self.q, point))
+
+    def add_constant_term(self, scalar: int):
+        # constant term multiplies G_0 of the URS... reference adds to g[0]
+        self.add_to_g_scalars([scalar] + [0] * (self.params.n - 1))
+
+    def add_to_g_scalars(self, scalars: Sequence[int]):
+        if self.g_scalars is None:
+            self.g_scalars = [0] * self.params.n
+        for i, s in enumerate(scalars):
+            self.g_scalars[i] = (self.g_scalars[i] + s) % self.q
+
+    def add_to_w_scalar(self, scalar: int):
+        self.w_scalar = ((self.w_scalar or 0) + scalar) % self.q
+
+    def add_to_u_scalar(self, scalar: int):
+        self.u_scalar = ((self.u_scalar or 0) + scalar) % self.q
+
+    def add_msm(self, other: "MSMIPA"):
+        self.terms.extend(other.terms)
+        if other.g_scalars:
+            self.add_to_g_scalars(other.g_scalars)
+        if other.w_scalar is not None:
+            self.add_to_w_scalar(other.w_scalar)
+        if other.u_scalar is not None:
+            self.add_to_u_scalar(other.u_scalar)
+
+    def scale(self, factor: int):
+        self.terms = [(s * factor % self.q, pt) for s, pt in self.terms]
+        if self.g_scalars:
+            self.g_scalars = [s * factor % self.q for s in self.g_scalars]
+        if self.w_scalar is not None:
+            self.w_scalar = self.w_scalar * factor % self.q
+        if self.u_scalar is not None:
+            self.u_scalar = self.u_scalar * factor % self.q
+
+    def eval(self) -> Point:
+        scalars = [s for s, _ in self.terms]
+        points = [pt for _, pt in self.terms]
+        if self.w_scalar is not None:
+            scalars.append(self.w_scalar)
+            points.append(self.params.w)
+        if self.u_scalar is not None:
+            scalars.append(self.u_scalar)
+            points.append(self.params.u)
+        if self.g_scalars is not None:
+            scalars.extend(self.g_scalars)
+            points.extend(self.params.g)
+        return msm(scalars, points, self.params.curve)
+
+    def check(self) -> bool:
+        return self.eval().is_identity()
+
+
+# ---------------------------------------------------------------------------
+# Commitment opening argument (ipa/commitment/{prover,verifier}.rs)
+# ---------------------------------------------------------------------------
+
+
+def ipa_commit_open(params: ParamsIPA, rng, transcript, p_poly: List[int], p_blind: Blind, x_3: int):
+    """The k-round inner product opening (commitment/prover.rs:29-153)."""
+    q = params.curve.SCALAR.MODULUS
+    F = params.curve.SCALAR
+    n = params.n
+    assert len(p_poly) == n
+
+    s_poly = [F.random(rng).v for _ in range(n)]
+    s_at_x3 = eval_polynomial_host(s_poly, x_3, q)
+    s_poly[0] = (s_poly[0] - s_at_x3) % q
+    s_poly_blind = F.random(rng).v
+    s_commitment = params.commit(s_poly, Blind(s_poly_blind))
+    transcript.write_point(s_commitment)
+
+    xi = int(transcript.squeeze_challenge())
+    z = int(transcript.squeeze_challenge())
+
+    p_prime = [(s * xi + c) % q for s, c in zip(s_poly, p_poly)]
+    v = eval_polynomial_host(p_prime, x_3, q)
+    p_prime[0] = (p_prime[0] - v) % q
+    f = (s_poly_blind * xi + p_blind.value) % q
+
+    b = []
+    cur = 1
+    for _ in range(n):
+        b.append(cur)
+        cur = cur * x_3 % q
+    g_prime = list(params.g)
+
+    for _ in range(params.k):
+        half = len(p_prime) // 2
+        l_j = msm(p_prime[half:], g_prime[:half], params.curve)
+        r_j = msm(p_prime[:half], g_prime[half:], params.curve)
+        value_l = compute_inner_product(p_prime[half:], b[:half], q)
+        value_r = compute_inner_product(p_prime[:half], b[half:], q)
+        l_rand = F.random(rng).v
+        r_rand = F.random(rng).v
+        l_j = l_j + params.u.mul(value_l * z % q) + params.w.mul(l_rand)
+        r_j = r_j + params.u.mul(value_r * z % q) + params.w.mul(r_rand)
+        transcript.write_point(l_j)
+        transcript.write_point(r_j)
+
+        u_j = int(transcript.squeeze_challenge())
+        u_j_inv = pow(u_j, -1, q)
+        p_prime = [(p_prime[i] + p_prime[i + half] * u_j_inv) % q for i in range(half)]
+        b = [(b[i] + b[i + half] * u_j) % q for i in range(half)]
+        g_prime = [g_prime[i] + g_prime[i + half].mul(u_j) for i in range(half)]
+        f = (f + l_rand * u_j_inv + r_rand * u_j) % q
+
+    transcript.write_scalar(params.curve.SCALAR(p_prime[0]))
+    transcript.write_scalar(params.curve.SCALAR(f))
+
+
+class GuardIPA:
+    def __init__(self, msm_acc: MSMIPA, neg_c: int, u: List[int]):
+        self.msm = msm_acc
+        self.neg_c = neg_c
+        self.u = u
+
+    def use_challenges(self) -> MSMIPA:
+        s = compute_s(self.u, self.neg_c, self.msm.q)
+        self.msm.add_to_g_scalars(s)
+        return self.msm
+
+
+def ipa_commit_verify(params: ParamsIPA, msm_acc: MSMIPA, transcript, x: int, v: int) -> GuardIPA:
+    """commitment/verifier.rs verify_proof."""
+    q = params.curve.SCALAR.MODULUS
+    msm_acc.add_constant_term(-v)
+    s_commitment = transcript.read_point()
+    xi = int(transcript.squeeze_challenge())
+    msm_acc.append_term(xi, s_commitment)
+    z = int(transcript.squeeze_challenge())
+
+    u = []
+    for _ in range(params.k):
+        l = transcript.read_point()
+        r = transcript.read_point()
+        u_j = int(transcript.squeeze_challenge())
+        msm_acc.append_term(pow(u_j, -1, q), l)
+        msm_acc.append_term(u_j, r)
+        u.append(u_j)
+
+    c = int(transcript.read_scalar())
+    f = int(transcript.read_scalar())
+    b = compute_b(x, u, q)
+
+    msm_acc.add_to_u_scalar((-c) * b % q * z % q)
+    msm_acc.add_to_w_scalar(-f)
+    return GuardIPA(msm_acc, (-c) % q, u)
+
+
+def compute_b(x: int, u: List[int], q: int) -> int:
+    tmp = 1
+    cur = x
+    for u_j in reversed(u):
+        tmp = tmp * (1 + u_j * cur) % q
+        cur = cur * cur % q
+    return tmp
+
+
+def compute_s(u: List[int], init: int, q: int) -> List[int]:
+    """Coefficients of g(X) = prod (1 + u_{k-1-i} X^{2^i}) scaled by init."""
+    v = [0] * (1 << len(u))
+    v[0] = init % q
+    length = 1
+    for u_j in reversed(u):
+        for i in range(length):
+            v[length + i] = v[i] * u_j % q
+        length *= 2
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Multiopen (ipa/multiopen/{prover,verifier}.rs)
+# ---------------------------------------------------------------------------
+
+
+def multiopen_prove(params: ParamsIPA, rng, transcript, queries: List[ProverQuery]):
+    q = params.curve.SCALAR.MODULUS
+    x_1 = int(transcript.squeeze_challenge())
+    x_2 = int(transcript.squeeze_challenge())
+
+    # commitment key: identity of (poly object, blind value)
+    poly_cache: Dict[int, List[int]] = {}
+
+    def key_of(query):
+        pid = id(query.poly)
+        if pid not in poly_cache:
+            poly_cache[pid] = (
+                query.poly if isinstance(query.poly, list) else query.poly.vec.to_ints()
+            )
+        return (pid, query.blind.value)
+
+    poly_map, point_sets = construct_intermediate_sets(
+        queries,
+        get_point=lambda qq: qq.point,
+        get_commitment_key=key_of,
+        get_eval=lambda qq: None,
+    )
+
+    q_polys: List[Optional[List[int]]] = [None] * len(point_sets)
+    q_blinds = [0] * len(point_sets)
+    for cd in poly_map:
+        pid, blind_v = cd.commitment
+        coeffs = poly_cache[pid]
+        si = cd.set_index
+        if q_polys[si] is None:
+            q_polys[si] = list(coeffs)
+        else:
+            q_polys[si] = [(a * x_1 + b) % q for a, b in zip(q_polys[si], coeffs)]
+        q_blinds[si] = (q_blinds[si] * x_1 + blind_v) % q
+
+    q_prime_poly = None
+    for points, poly in zip(point_sets, q_polys):
+        reduced = list(poly)
+        for point in points:
+            reduced = kate_division(reduced, point, q)
+        reduced += [0] * (params.n - len(reduced))
+        if q_prime_poly is None:
+            q_prime_poly = reduced
+        else:
+            q_prime_poly = [(a * x_2 + b) % q for a, b in zip(q_prime_poly, reduced)]
+
+    F = params.curve.SCALAR
+    q_prime_blind = F.random(rng).v
+    q_prime_commitment = params.commit(q_prime_poly, Blind(q_prime_blind))
+    transcript.write_point(q_prime_commitment)
+
+    x_3 = int(transcript.squeeze_challenge())
+    for q_i in q_polys:
+        transcript.write_scalar(F(eval_polynomial_host(q_i, x_3, q)))
+
+    x_4 = int(transcript.squeeze_challenge())
+    p_poly = q_prime_poly
+    p_blind = q_prime_blind
+    for poly, blind in zip(q_polys, q_blinds):
+        p_poly = [(a * x_4 + b) % q for a, b in zip(p_poly, poly)]
+        p_blind = (p_blind * x_4 + blind) % q
+
+    ipa_commit_open(params, rng, transcript, p_poly, Blind(p_blind), x_3)
+
+
+def multiopen_verify(params: ParamsIPA, transcript, queries: List[VerifierQuery], msm_acc: MSMIPA) -> GuardIPA:
+    q = params.curve.SCALAR.MODULUS
+    F = params.curve.SCALAR
+    x_1 = int(transcript.squeeze_challenge())
+    x_2 = int(transcript.squeeze_challenge())
+
+    def key_of(qq):
+        if qq.kind == "commitment":
+            return ("c", qq.commitment)
+        return ("m", id(qq.commitment))
+
+    commitment_map, point_sets = construct_intermediate_sets(
+        queries,
+        get_point=lambda qq: qq.point,
+        get_commitment_key=key_of,
+        get_eval=lambda qq: qq.eval,
+    )
+
+    q_commitments = [params.empty_msm() for _ in point_sets]
+    q_eval_sets = [[0] * len(ps) for ps in point_sets]
+    msm_by_id = {id(qq.commitment): qq.commitment for qq in queries if qq.kind == "msm"}
+    for cd in commitment_map:
+        si = cd.set_index
+        q_commitments[si].scale(x_1)
+        kind, ref = cd.commitment
+        if kind == "c":
+            q_commitments[si].append_term(1, ref)
+        else:
+            q_commitments[si].add_msm(msm_by_id[ref])
+        for i, ev in enumerate(cd.evals):
+            q_eval_sets[si][i] = (q_eval_sets[si][i] * x_1 + ev) % q
+
+    q_prime_commitment = transcript.read_point()
+    x_3 = int(transcript.squeeze_challenge())
+    u = [int(transcript.read_scalar()) for _ in q_eval_sets]
+
+    msm_eval = 0
+    for points, evals, proof_eval in zip(point_sets, q_eval_sets, u):
+        r_poly = lagrange_interpolate_host(points, evals, F)
+        r_eval = eval_polynomial_host(r_poly, x_3, q)
+        ev = (proof_eval - r_eval) % q
+        for point in points:
+            ev = ev * pow((x_3 - point) % q, -1, q) % q
+        msm_eval = (msm_eval * x_2 + ev) % q
+
+    x_4 = int(transcript.squeeze_challenge())
+    msm_acc.append_term(1, q_prime_commitment)
+    v = msm_eval
+    for q_commitment, q_eval in zip(q_commitments, u):
+        msm_acc.scale(x_4)
+        msm_acc.add_msm(q_commitment)
+        v = (v * x_4 + q_eval) % q
+
+    return ipa_commit_verify(params, msm_acc, transcript, x_3, v)
