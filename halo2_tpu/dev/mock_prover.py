@@ -125,7 +125,7 @@ class MockProver:
             prover.regions = []  # regions are re-tracked each phase pass
             SimpleFloorPlanner.synthesize(prover, circuit, config, cs.constants)
             for idx, ch_phase in enumerate(cs.challenge_phase):
-                if ch_phase == phase + 1 and idx not in prover.challenges:
+                if ch_phase == phase and idx not in prover.challenges:
                     prover.challenges[idx] = rng.randrange(field_cls.MODULUS)
         # also sample any phase-0-usable challenges not yet sampled
         for idx, ch_phase in enumerate(cs.challenge_phase):

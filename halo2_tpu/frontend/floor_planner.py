@@ -157,11 +157,10 @@ class _SimpleTableLayouter:
 
         self.cs.assign_fixed(annotation, column.inner, offset, capture)
         default, assigned = entry
-        if offset == 0:
-            if default is None:
-                default = value_holder[0] if value_holder else None
-            else:
-                raise SynthesisError("table default already assigned")
+        if default is None and offset == 0:
+            # backends may skip evaluating the closure (e.g. the prover's
+            # WitnessCollection); record an unknown default in that case
+            default = value_holder[0] if value_holder else Value.unknown()
         while len(assigned) <= offset:
             assigned.append(False)
         assigned[offset] = True
@@ -243,7 +242,7 @@ class SingleChipLayouter(Layouter):
             self.table_columns.append(column)
         for column, (default, _) in default_and_assigned.items():
             if default is None:
-                raise SynthesisError("table column missing default")
+                raise SynthesisError("table column missing default (no offset-0 cell)")
             self.cs.fill_from_row(column.inner, first_unused, default)
 
     def constrain_instance(self, cell: Cell, instance: Column, row: int):

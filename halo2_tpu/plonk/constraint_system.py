@@ -145,9 +145,12 @@ class ConstraintSystem:
         return TableColumn(self.fixed_column())
 
     def challenge_usable_after(self, phase: int) -> Challenge:
-        ch = Challenge(self.num_challenges, phase + 1)
+        """The challenge is squeezed at the END of `phase` (after that
+        phase's advice commitments), hence usable in later phases
+        (reference circuit.rs:2189)."""
+        ch = Challenge(self.num_challenges, phase)
         self.num_challenges += 1
-        self.challenge_phase.append(phase + 1)
+        self.challenge_phase.append(phase)
         return ch
 
     # ---------------- copy/constant configuration ----------------
