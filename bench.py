@@ -1,0 +1,69 @@
+"""Headline benchmark: 2^20-point NTT throughput on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The NTT (with the MSM) is one of the two kernels every proving stage sits on
+(SURVEY.md section 6, `halo2_proofs/benches/fft.rs`). The reference
+publishes no absolute numbers (BASELINE.md), so vs_baseline is reported
+against a fixed reference point: the Rust `best_fft` class of
+shared-memory CPU implementations measured at ~1.0e7 field-elements/s for
+k=20 on a modern many-core host (value 1.0 == that anchor).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from halo2_tpu.fields import Fq
+from halo2_tpu.ops.field_jax import FieldCtx
+from halo2_tpu.ops.limbs import NLIMBS
+from halo2_tpu.ops.ntt import NttPlan
+
+K = int(os.environ.get("BENCH_K", "20"))
+RUST_ANCHOR_ELEMS_PER_S = 1.0e7  # reference-class CPU best_fft anchor
+
+
+def main():
+    n = 1 << K
+    p = Fq.MODULUS
+    omega = pow(Fq.ROOT_OF_UNITY, 1 << (Fq.S - K), p)
+    plan = NttPlan(Fq, K, omega)
+    ctx = FieldCtx(Fq)
+
+    rng = np.random.default_rng(0)
+    # random limbs < 2^16, value < 2^256; lazy domain accepts any residue rep
+    a = jnp.asarray(rng.integers(0, 1 << 16, size=(n, NLIMBS), dtype=np.uint32))
+    a = ctx.to_mont(ctx.from_mont(a))  # normalize into the valid domain
+
+    out = plan(a)
+    jax.block_until_ready(out)  # compile + warmup
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = plan(out)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+
+    throughput = n / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"ntt_k{K}_throughput",
+                "value": round(throughput, 1),
+                "unit": "field_elements_per_s",
+                "vs_baseline": round(throughput / RUST_ANCHOR_ELEMS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -219,6 +219,15 @@ class Curve:
             yv = p - yv
         return Point(cls, (x, yv))
 
+    @classmethod
+    def from_bytes_uncompressed(cls, b: bytes) -> "Point":
+        assert len(b) == 64
+        x = int.from_bytes(b[:32], "little")
+        y = int.from_bytes(b[32:], "little")
+        if x == 0 and y == 0:
+            return cls.identity()
+        return cls.from_xy(x, y)
+
 
 class Point:
     """Affine point on `curve` (None coords = identity)."""
@@ -281,6 +290,12 @@ class Point:
         xb = bytearray(self.xy[0].to_bytes(32, "little"))
         xb[31] |= (self.xy[1] & 1) << 7
         return bytes(xb)
+
+    def to_bytes_uncompressed(self) -> bytes:
+        """Raw encoding: x LE || y LE (halo2curves raw); identity = zeros."""
+        if self.xy is None:
+            return bytes(64)
+        return self.xy[0].to_bytes(32, "little") + self.xy[1].to_bytes(32, "little")
 
 
 class Pallas(Curve):

@@ -1,0 +1,424 @@
+"""BN254 optimal ate pairing over host bigints (verification side only).
+
+The reference delegates pairings to `halo2curves::bn256` (used by the KZG
+`DualMSM::check`, `poly/kzg/msm.rs:151-170`). Pairings run once per proof
+verification, never in the prover hot path, so a straightforward host
+implementation is appropriate; field towers:
+
+    Fq2  = Fq[u]  / (u^2 + 1)
+    Fq6  = Fq2[v] / (v^3 - xi),  xi = 9 + u
+    Fq12 = Fq6[w] / (w^2 - v)
+
+G2 points live on the D-type twist E'/Fq2: y^2 = x^3 + 3/xi and are mapped
+into E(Fq12) by (x, y) -> (x*w^2, y*w^3) before a standard affine Miller
+loop over the binary expansion of 6t+2, followed by the two Frobenius
+correction lines and a plain-exponent final exponentiation.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+from .curves import Bn254G1, Point
+from .fields import BN254_FQ, BN254_FR
+
+Q = BN254_FQ
+R = BN254_FR
+BN_X = 4965661367192848881
+ATE_LOOP_COUNT = 6 * BN_X + 2
+
+# ---------------------------------------------------------------------------
+# Tower arithmetic (immutable tuples of ints)
+# ---------------------------------------------------------------------------
+
+Fq2 = Tuple[int, int]  # c0 + c1*u
+
+
+def fq2(c0: int, c1: int = 0) -> Fq2:
+    return (c0 % Q, c1 % Q)
+
+
+FQ2_ZERO = (0, 0)
+FQ2_ONE = (1, 0)
+XI = (9, 1)  # 9 + u
+
+
+def fq2_add(a: Fq2, b: Fq2) -> Fq2:
+    return ((a[0] + b[0]) % Q, (a[1] + b[1]) % Q)
+
+
+def fq2_sub(a: Fq2, b: Fq2) -> Fq2:
+    return ((a[0] - b[0]) % Q, (a[1] - b[1]) % Q)
+
+
+def fq2_neg(a: Fq2) -> Fq2:
+    return ((-a[0]) % Q, (-a[1]) % Q)
+
+
+def fq2_mul(a: Fq2, b: Fq2) -> Fq2:
+    t0 = a[0] * b[0] % Q
+    t1 = a[1] * b[1] % Q
+    t2 = (a[0] + a[1]) * (b[0] + b[1]) % Q
+    return ((t0 - t1) % Q, (t2 - t0 - t1) % Q)
+
+
+def fq2_scalar(a: Fq2, k: int) -> Fq2:
+    return (a[0] * k % Q, a[1] * k % Q)
+
+
+def fq2_sqr(a: Fq2) -> Fq2:
+    return fq2_mul(a, a)
+
+
+def fq2_inv(a: Fq2) -> Fq2:
+    norm = (a[0] * a[0] + a[1] * a[1]) % Q
+    ninv = pow(norm, -1, Q)
+    return (a[0] * ninv % Q, (-a[1]) * ninv % Q)
+
+
+def fq2_conj(a: Fq2) -> Fq2:
+    return (a[0], (-a[1]) % Q)
+
+
+Fq6 = Tuple[Fq2, Fq2, Fq2]  # c0 + c1*v + c2*v^2
+FQ6_ZERO = (FQ2_ZERO, FQ2_ZERO, FQ2_ZERO)
+FQ6_ONE = (FQ2_ONE, FQ2_ZERO, FQ2_ZERO)
+
+
+def fq6_add(a: Fq6, b: Fq6) -> Fq6:
+    return tuple(fq2_add(x, y) for x, y in zip(a, b))
+
+
+def fq6_sub(a: Fq6, b: Fq6) -> Fq6:
+    return tuple(fq2_sub(x, y) for x, y in zip(a, b))
+
+
+def fq6_neg(a: Fq6) -> Fq6:
+    return tuple(fq2_neg(x) for x in a)
+
+
+def _mul_xi(a: Fq2) -> Fq2:
+    return fq2_mul(a, XI)
+
+
+def fq6_mul(a: Fq6, b: Fq6) -> Fq6:
+    a0, a1, a2 = a
+    b0, b1, b2 = b
+    t0 = fq2_mul(a0, b0)
+    t1 = fq2_mul(a1, b1)
+    t2 = fq2_mul(a2, b2)
+    c0 = fq2_add(t0, _mul_xi(fq2_sub(fq2_mul(fq2_add(a1, a2), fq2_add(b1, b2)), fq2_add(t1, t2))))
+    c1 = fq2_add(
+        fq2_sub(fq2_mul(fq2_add(a0, a1), fq2_add(b0, b1)), fq2_add(t0, t1)), _mul_xi(t2)
+    )
+    c2 = fq2_add(fq2_sub(fq2_mul(fq2_add(a0, a2), fq2_add(b0, b2)), fq2_add(t0, t2)), t1)
+    return (c0, c1, c2)
+
+
+def fq6_mul_by_v(a: Fq6) -> Fq6:
+    return (_mul_xi(a[2]), a[0], a[1])
+
+
+def fq6_inv(a: Fq6) -> Fq6:
+    a0, a1, a2 = a
+    c0 = fq2_sub(fq2_sqr(a0), _mul_xi(fq2_mul(a1, a2)))
+    c1 = fq2_sub(_mul_xi(fq2_sqr(a2)), fq2_mul(a0, a1))
+    c2 = fq2_sub(fq2_sqr(a1), fq2_mul(a0, a2))
+    t = fq2_add(
+        fq2_add(_mul_xi(fq2_mul(a2, c1)), _mul_xi(fq2_mul(a1, c2))), fq2_mul(a0, c0)
+    )
+    tinv = fq2_inv(t)
+    return (fq2_mul(c0, tinv), fq2_mul(c1, tinv), fq2_mul(c2, tinv))
+
+
+Fq12 = Tuple[Fq6, Fq6]  # c0 + c1*w
+FQ12_ONE = (FQ6_ONE, FQ6_ZERO)
+
+
+def fq12_mul(a: Fq12, b: Fq12) -> Fq12:
+    a0, a1 = a
+    b0, b1 = b
+    t0 = fq6_mul(a0, b0)
+    t1 = fq6_mul(a1, b1)
+    c0 = fq6_add(t0, fq6_mul_by_v(t1))
+    c1 = fq6_sub(fq6_sub(fq6_mul(fq6_add(a0, a1), fq6_add(b0, b1)), t0), t1)
+    return (c0, c1)
+
+
+def fq12_sqr(a: Fq12) -> Fq12:
+    return fq12_mul(a, a)
+
+
+def fq12_inv(a: Fq12) -> Fq12:
+    a0, a1 = a
+    t = fq6_inv(fq6_sub(fq6_mul(a0, a0), fq6_mul_by_v(fq6_mul(a1, a1))))
+    return (fq6_mul(a0, t), fq6_neg(fq6_mul(a1, t)))
+
+
+def fq12_conj(a: Fq12) -> Fq12:
+    return (a[0], fq6_neg(a[1]))
+
+
+def fq12_pow(a: Fq12, e: int) -> Fq12:
+    if e < 0:
+        return fq12_pow(fq12_inv(a), -e)
+    result = FQ12_ONE
+    base = a
+    while e:
+        if e & 1:
+            result = fq12_mul(result, base)
+        base = fq12_sqr(base)
+        e >>= 1
+    return result
+
+
+# Frobenius: (a + b*w)^q = a^q + b^q * w^q; w^q = gamma * w with
+# gamma = xi^((q-1)/6); v^q = xi^((q-1)/3) * v etc.
+_FROB_GAMMA1 = [
+    pow_xi := None,
+]
+
+
+def _xi_pow(exp_num: int, exp_den: int) -> Fq2:
+    """xi^((q^1-1) * exp_num / exp_den) computed via fq2 pow."""
+    e = (Q - 1) * exp_num // exp_den
+
+    def fq2_pow(a: Fq2, e: int) -> Fq2:
+        res = FQ2_ONE
+        base = a
+        while e:
+            if e & 1:
+                res = fq2_mul(res, base)
+            base = fq2_sqr(base)
+            e >>= 1
+        return res
+
+    return fq2_pow(XI, e)
+
+
+_G1 = [_xi_pow(i, 6) for i in range(6)]  # gamma_{1,i} = xi^(i(q-1)/6)
+
+
+def fq6_frob(a: Fq6) -> Fq6:
+    """a(v)^q with v^q = xi^((q-1)/3) v."""
+    c0 = fq2_conj(a[0])
+    c1 = fq2_mul(fq2_conj(a[1]), _G1[2])
+    c2 = fq2_mul(fq2_conj(a[2]), _G1[4])
+    return (c0, c1, c2)
+
+
+def fq12_frob(a: Fq12) -> Fq12:
+    c0 = fq6_frob(a[0])
+    b = fq6_frob(a[1])
+    c1 = tuple(fq2_mul(x, _G1[1]) for x in b)
+    return (c0, c1)
+
+
+# ---------------------------------------------------------------------------
+# G2 (twist) points and the pairing
+# ---------------------------------------------------------------------------
+
+
+class PointG2:
+    """Affine point on E'/Fq2: y^2 = x^3 + 3/xi (None = identity)."""
+
+    B2 = fq2_mul((3, 0), fq2_inv(XI))
+
+    __slots__ = ("xy",)
+
+    def __init__(self, xy):
+        self.xy = xy
+
+    @classmethod
+    def generator(cls) -> "PointG2":
+        return cls(
+            (
+                (
+                    10857046999023057135944570762232829481370756359578518086990519993285655852781,
+                    11559732032986387107991004021392285783925812861821192530917403151452391805634,
+                ),
+                (
+                    8495653923123431417604973247489272438418190587263600148770280649306958101930,
+                    4082367875863433681332203403145435568316851327593401208105741076214120093531,
+                ),
+            )
+        )
+
+    def is_identity(self) -> bool:
+        return self.xy is None
+
+    def is_on_curve(self) -> bool:
+        if self.xy is None:
+            return True
+        x, y = self.xy
+        return fq2_sqr(y) == fq2_add(fq2_mul(fq2_sqr(x), x), self.B2)
+
+    def neg(self) -> "PointG2":
+        if self.xy is None:
+            return self
+        return PointG2((self.xy[0], fq2_neg(self.xy[1])))
+
+    def add(self, other: "PointG2") -> "PointG2":
+        if self.xy is None:
+            return other
+        if other.xy is None:
+            return self
+        x1, y1 = self.xy
+        x2, y2 = other.xy
+        if x1 == x2:
+            if y1 != y2:
+                return PointG2(None)
+            lam = fq2_mul(fq2_scalar(fq2_sqr(x1), 3), fq2_inv(fq2_scalar(y1, 2)))
+        else:
+            lam = fq2_mul(fq2_sub(y2, y1), fq2_inv(fq2_sub(x2, x1)))
+        x3 = fq2_sub(fq2_sub(fq2_sqr(lam), x1), x2)
+        y3 = fq2_sub(fq2_mul(lam, fq2_sub(x1, x3)), y1)
+        return PointG2((x3, y3))
+
+    def mul(self, k: int) -> "PointG2":
+        k %= R
+        acc = PointG2(None)
+        add = self
+        while k:
+            if k & 1:
+                acc = acc.add(add)
+            add = add.add(add)
+            k >>= 1
+        return acc
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, PointG2) and self.xy == other.xy
+
+    # -- serialization matching halo2curves bn256 G2 (2 * 2 * 32 bytes,
+    #    c1 before... halo2curves stores x.c0, x.c1, y.c0, y.c1 LE) --
+    def to_bytes_uncompressed(self) -> bytes:
+        if self.xy is None:
+            return b"\x00" * 128
+        x, y = self.xy
+        return b"".join(int(c).to_bytes(32, "little") for c in (x[0], x[1], y[0], y[1]))
+
+    @classmethod
+    def from_bytes_uncompressed(cls, data: bytes) -> "PointG2":
+        vals = [int.from_bytes(data[i * 32 : (i + 1) * 32], "little") for i in range(4)]
+        if all(v == 0 for v in vals):
+            return cls(None)
+        pt = cls(((vals[0], vals[1]), (vals[2], vals[3])))
+        assert pt.is_on_curve()
+        return pt
+
+
+# Fq12-embedded points (x, y) with x, y in Fq12
+def _embed_g1(pt: Point) -> Tuple[Fq12, Fq12]:
+    x, y = pt.xy
+    return (
+        (((x % Q, 0), FQ2_ZERO, FQ2_ZERO), FQ6_ZERO),
+        (((y % Q, 0), FQ2_ZERO, FQ2_ZERO), FQ6_ZERO),
+    )
+
+
+def _twist(pt: PointG2) -> Tuple[Fq12, Fq12]:
+    """psi: (x', y') -> (x' * w^2, y' * w^3); w^2 = v, w^3 = v*w."""
+    x, y = pt.xy
+    xw2 = ((FQ2_ZERO, x, FQ2_ZERO), FQ6_ZERO)  # x * v
+    yw3 = (FQ6_ZERO, (FQ2_ZERO, y, FQ2_ZERO))  # y * v * w
+    return (xw2, yw3)
+
+
+def _frob12_point(P: Tuple[Fq12, Fq12]) -> Tuple[Fq12, Fq12]:
+    return (fq12_frob(P[0]), fq12_frob(P[1]))
+
+
+def _neg12(P: Tuple[Fq12, Fq12]) -> Tuple[Fq12, Fq12]:
+    return (P[0], (fq6_neg(P[1][0]), fq6_neg(P[1][1])))
+
+
+def _line(P1, P2, T) -> Fq12:
+    """Evaluation at T of the line through P1, P2 (generic affine linefunc)."""
+    x1, y1 = P1
+    x2, y2 = P2
+    xt, yt = T
+    if x1 != x2:
+        lam = fq12_mul(_sub12(y2, y1), fq12_inv(_sub12(x2, x1)))
+        return _sub12(_sub12(yt, y1), fq12_mul(lam, _sub12(xt, x1)))
+    if y1 == y2:
+        lam = fq12_mul(
+            _scalar12(fq12_mul(P1[0], P1[0]), 3), fq12_inv(_scalar12(y1, 2))
+        )
+        return _sub12(_sub12(yt, y1), fq12_mul(lam, _sub12(xt, x1)))
+    return _sub12(xt, x1)
+
+
+def _sub12(a: Fq12, b: Fq12) -> Fq12:
+    return (fq6_sub(a[0], b[0]), fq6_sub(a[1], b[1]))
+
+
+def _scalar12(a: Fq12, k: int) -> Fq12:
+    return (
+        tuple(fq2_scalar(c, k) for c in a[0]),
+        tuple(fq2_scalar(c, k) for c in a[1]),
+    )
+
+
+def _add12_points(A, B):
+    """Affine point addition over Fq12."""
+    x1, y1 = A
+    x2, y2 = B
+    if x1 == x2 and y1 == y2:
+        lam = fq12_mul(_scalar12(fq12_mul(x1, x1), 3), fq12_inv(_scalar12(y1, 2)))
+    else:
+        lam = fq12_mul(_sub12(y2, y1), fq12_inv(_sub12(x2, x1)))
+    x3 = _sub12(_sub12(fq12_mul(lam, lam), x1), x2)
+    y3 = _sub12(fq12_mul(lam, _sub12(x1, x3)), y1)
+    return (x3, y3)
+
+
+def miller_loop(P: Point, Qg2: PointG2) -> Fq12:
+    """f_{6x+2, psi(Q)}(P) with Frobenius correction lines (optimal ate)."""
+    if P.is_identity() or Qg2.is_identity():
+        return FQ12_ONE
+    Pe = _embed_g1(P)
+    Qe = _twist(Qg2)
+    T = Qe
+    f = FQ12_ONE
+    bits = bin(ATE_LOOP_COUNT)[3:]  # skip leading 1
+    for bit in bits:
+        f = fq12_mul(fq12_sqr(f), _line(T, T, Pe))
+        T = _add12_points(T, T)
+        if bit == "1":
+            f = fq12_mul(f, _line(T, Qe, Pe))
+            T = _add12_points(T, Qe)
+    q1 = _frob12_point(Qe)
+    q2 = _neg12(_frob12_point(q1))
+    f = fq12_mul(f, _line(T, q1, Pe))
+    T = _add12_points(T, q1)
+    f = fq12_mul(f, _line(T, q2, Pe))
+    return f
+
+
+_FINAL_EXP = (Q**12 - 1) // R
+
+
+def final_exponentiation(f: Fq12) -> Fq12:
+    """f^((q^12-1)/r); easy part via conjugation, hard part plain pow."""
+    # easy part: f^(q^6-1) = conj(f)/f ; then ^(q^2+1)
+    f1 = fq12_mul(fq12_conj(f), fq12_inv(f))
+    f2 = fq12_mul(fq12_frob(fq12_frob(f1)), f1)
+    # hard part: ^((q^4 - q^2 + 1)/r)
+    hard = (Q**4 - Q**2 + 1) // R
+    return fq12_pow(f2, hard)
+
+
+def multi_miller_loop(terms: Sequence[Tuple[Point, PointG2]]) -> Fq12:
+    f = FQ12_ONE
+    for P, Qg2 in terms:
+        f = fq12_mul(f, miller_loop(P, Qg2))
+    return f
+
+
+def pairing(P: Point, Qg2: PointG2) -> Fq12:
+    return final_exponentiation(miller_loop(P, Qg2))
+
+
+def pairing_check(terms: Sequence[Tuple[Point, PointG2]]) -> bool:
+    """prod e(P_i, Q_i) == 1 (the DualMSM check, kzg/msm.rs:151-170)."""
+    return final_exponentiation(multi_miller_loop(terms)) == FQ12_ONE

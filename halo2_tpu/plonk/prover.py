@@ -85,8 +85,24 @@ class WitnessCollection:
         pass
 
 
+def _dispatch_scheme(params, multiopen: Optional[str]):
+    """(query_instance, prove_fn, verify_fn) for the params' scheme.
+
+    IPA commits instances (ipa/multiopen/prover.rs:25); KZG hashes them as
+    scalars (gwc/prover.rs:36, shplonk/prover.rs:112)."""
+    from ..poly.ipa import ParamsIPA, multiopen_prove, multiopen_verify
+
+    if isinstance(params, ParamsIPA):
+        return True, multiopen_prove, multiopen_verify
+    from ..poly.kzg import MULTIOPEN, ParamsKZG
+
+    assert isinstance(params, ParamsKZG), f"unknown params type {type(params)}"
+    prove, verify = MULTIOPEN[multiopen or "shplonk"]
+    return False, prove, verify
+
+
 def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[List[int]]],
-                 rng, transcript):
+                 rng, transcript, multiopen: Optional[str] = None):
     """Writes the proof into `transcript`; returns None (proof = transcript bytes)."""
     vk = pk.vk
     cs = vk.cs
@@ -95,7 +111,7 @@ def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[Li
     F = curve.SCALAR
     p = F.MODULUS
     n = params.n
-    query_instance = True  # IPA (multiopen/prover.rs:25); KZG passes False
+    query_instance, multiopen_prove_fn, _ = _dispatch_scheme(params, multiopen)
 
     for inst in instances:
         if len(inst) != cs.num_instance_columns:
@@ -303,6 +319,4 @@ def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[Li
     queries.extend(permutation_prover.open_permutation_common(pk, x))
     queries.extend(vanishing.open_vanishing(vanishing_evaluated, F, x))
 
-    from ..poly.ipa import multiopen_prove
-
-    multiopen_prove(params, rng, transcript, queries)
+    multiopen_prove_fn(params, rng, transcript, queries)

@@ -41,15 +41,17 @@ class LookupEvaluated:
 
 
 def verify_proof(params, vk: VerifyingKey, instances: List[List[List[int]]], transcript,
-                 strategy: str = "single"):
+                 strategy: str = "single", multiopen: str = None):
     """Returns the accumulated MSM guard result; raises on failure."""
+    from .prover import _dispatch_scheme
+
     cs = vk.cs
     domain = vk.domain
     curve = params.curve
     F = curve.SCALAR
     p = F.MODULUS
     n = params.n
-    query_instance = True  # IPA
+    query_instance, _, multiopen_verify_fn = _dispatch_scheme(params, multiopen)
 
     for inst in instances:
         if len(inst) != cs.num_instance_columns:
@@ -345,10 +347,8 @@ def verify_proof(params, vk: VerifyingKey, instances: List[List[List[int]]], tra
     queries.extend(vanishing.verifier_queries(vanishing_evaluated, x))
 
     # ---- multiopen verification under strategy ----
-    from ..poly.ipa import multiopen_verify
-
-    msm = params.empty_msm()
-    guard = multiopen_verify(params, transcript, queries, msm)
+    msm = params.accumulator() if hasattr(params, "accumulator") else params.empty_msm()
+    guard = multiopen_verify_fn(params, transcript, queries, msm)
     if strategy == "single":
         final = guard.use_challenges()
         if not final.check():
