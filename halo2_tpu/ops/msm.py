@@ -231,9 +231,12 @@ def msm(
         host_points = list(bases)
         assert curve is not None or host_points, "need curve"
         curve = curve or host_points[0].curve
+    from ..utils.measure import span
+
     n = len(scalars)
-    if backend == "host" or (backend == "auto" and n < (1 << 12)):
-        return msm_host(scalars, host_points[:n], curve)
-    if not isinstance(bases, MSMBases):
-        bases = MSMBases(curve, host_points)
-    return msm_jax(scalars, bases)
+    with span(f"msm n={n}", category="msm"):
+        if backend == "host" or (backend == "auto" and n < (1 << 12)):
+            return msm_host(scalars, host_points[:n], curve)
+        if not isinstance(bases, MSMBases):
+            bases = MSMBases(curve, host_points)
+        return msm_jax(scalars, bases)

@@ -90,11 +90,14 @@ class NttPlan:
         return a
 
     def __call__(self, a: jnp.ndarray) -> jnp.ndarray:
-        if a.ndim == 2:
-            return self._jit(a)
-        # batched over leading axes
-        flat = a.reshape(-1, self.n, NLIMBS)
-        return jax.vmap(self._ntt)(flat).reshape(a.shape)
+        from ..utils.measure import span
+
+        with span(f"ntt 2^{self.log_n}", category="fft"):
+            if a.ndim == 2:
+                return self._jit(a)
+            # batched over leading axes
+            flat = a.reshape(-1, self.n, NLIMBS)
+            return jax.vmap(self._ntt)(flat).reshape(a.shape)
 
 
 def ntt(a: jnp.ndarray, field: Type[FieldElement], omega: int) -> jnp.ndarray:

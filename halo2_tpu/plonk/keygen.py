@@ -99,6 +99,49 @@ class VerifyingKey:
     def hash_into(self, transcript):
         transcript.common_scalar(self.curve.SCALAR(self.transcript_repr))
 
+    # ---- serde (reference plonk.rs:170-263) ----
+    def to_bytes(self, fmt: str = "processed") -> bytes:
+        import io as _io
+
+        from .. import helpers
+
+        w = _io.BytesIO()
+        w.write(self.domain.k.to_bytes(4, "big"))
+        w.write(len(self.fixed_commitments).to_bytes(4, "big"))
+        for c in self.fixed_commitments:
+            helpers.write_point(w, c, fmt)
+        for c in self.permutation.commitments:
+            helpers.write_point(w, c, fmt)
+        for selector in self.selectors:
+            w.write(helpers.pack_selector(selector))
+        return w.getvalue()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, circuit_cls, params, fmt: str = "processed") -> "VerifyingKey":
+        import io as _io
+
+        from .. import helpers
+
+        r = _io.BytesIO(data)
+        curve = params.curve
+        field = curve.SCALAR
+        k = int.from_bytes(r.read(4), "big")
+        domain, cs, _config = create_domain(field, k, circuit_cls)
+        num_fixed = int.from_bytes(r.read(4), "big")
+        fixed_commitments = [helpers.read_point(r, curve, fmt) for _ in range(num_fixed)]
+        perm_commitments = [
+            helpers.read_point(r, curve, fmt) for _ in cs.permutation.columns
+        ]
+        selectors = []
+        nbytes = ((1 << k) + 7) // 8
+        for _ in range(cs.num_selectors):
+            selectors.append(helpers.unpack_selector(r.read(nbytes), 1 << k))
+        cs.compress_selectors([list(s) for s in selectors])
+        return cls(
+            curve, domain, fixed_commitments,
+            PermutationVerifyingKey(perm_commitments), cs, selectors,
+        )
+
 
 class ProvingKey:
     def __init__(
@@ -121,6 +164,60 @@ class ProvingKey:
 
     def get_vk(self) -> VerifyingKey:
         return self.vk
+
+    # ---- serde (reference plonk.rs:418-490) ----
+    def to_bytes(self, fmt: str = "processed") -> bytes:
+        import io as _io
+
+        from .. import helpers
+
+        field = self.vk.curve.SCALAR
+        w = _io.BytesIO()
+        w.write(self.vk.to_bytes(fmt))
+        helpers.write_poly_ints(w, field, self.l0.vec.to_ints(), fmt)
+        helpers.write_poly_ints(w, field, self.l_last.vec.to_ints(), fmt)
+        helpers.write_poly_ints(w, field, self.l_active_row.vec.to_ints(), fmt)
+        helpers.write_poly_vec(w, field, self.fixed_values, fmt)
+        helpers.write_poly_vec(w, field, self.fixed_polys, fmt)
+        helpers.write_poly_vec(w, field, self.permutation.permutations, fmt)
+        helpers.write_poly_vec(w, field, self.permutation.polys, fmt)
+        return w.getvalue()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, circuit_cls, params, fmt: str = "processed") -> "ProvingKey":
+        import io as _io
+
+        from .. import helpers
+
+        vk = VerifyingKey.from_bytes(data, circuit_cls, params, fmt)
+        # VK consumed a prefix; re-scan to find the offset
+        prefix_len = len(vk.to_bytes(fmt))
+        r = _io.BytesIO(data[prefix_len:])
+        field = vk.curve.SCALAR
+
+        def poly(basis):
+            return Polynomial(basis, FVec.from_ints(field, helpers.read_poly_ints(r, field, fmt)))
+
+        l0 = poly(COEFF)
+        l_last = poly(COEFF)
+        l_active_row = poly(COEFF)
+        fixed_values = [
+            Polynomial(LAGRANGE, FVec.from_ints(field, v))
+            for v in helpers.read_poly_vec(r, field, fmt)
+        ]
+        fixed_polys = [
+            Polynomial(COEFF, FVec.from_ints(field, v))
+            for v in helpers.read_poly_vec(r, field, fmt)
+        ]
+        sigma_values = helpers.read_poly_vec(r, field, fmt)
+        sigma_polys = [
+            Polynomial(COEFF, FVec.from_ints(field, v))
+            for v in helpers.read_poly_vec(r, field, fmt)
+        ]
+        return cls(
+            vk, l0, l_last, l_active_row, fixed_values, fixed_polys,
+            PermutationProvingKey(sigma_values, sigma_polys),
+        )
 
 
 class Assembly:

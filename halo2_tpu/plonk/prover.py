@@ -113,6 +113,10 @@ def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[Li
     n = params.n
     query_instance, multiopen_prove_fn, _ = _dispatch_scheme(params, multiopen)
 
+    from ..utils.measure import reset_totals, report_totals, span
+
+    reset_totals()
+
     for inst in instances:
         if len(inst) != cs.num_instance_columns:
             raise InvalidInstances()
@@ -120,6 +124,7 @@ def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[Li
     vk.hash_into(transcript)
 
     # ---- instances (prover.rs:94-149) ----
+    stage = span("instances"); stage.__enter__()
     instance_values_all: List[List[List[int]]] = []
     instance_polys_all: List[List[Polynomial]] = []
     for inst in instances:
@@ -143,7 +148,9 @@ def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[Li
         instance_values_all.append(values_cols)
         instance_polys_all.append(polys)
 
+    stage.__exit__(None, None, None)
     # ---- advice, phase by phase (prover.rs:300-426) ----
+    stage = span("advice witness + commit"); stage.__enter__()
     config_cs = ConstraintSystem()
     config = type(circuits[0]).configure(config_cs)
 
@@ -191,7 +198,9 @@ def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[Li
 
     challenges = [challenges[i] for i in range(cs.num_challenges)]
 
+    stage.__exit__(None, None, None)
     # ---- lookups: permuted commitments (prover.rs:429-458) ----
+    stage = span("lookups + permutations commit"); stage.__enter__()
     theta = int(transcript.squeeze_challenge())
     lookups_permuted = [
         [
@@ -238,7 +247,9 @@ def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[Li
         for i in range(len(circuits))
     ]
 
+    stage.__exit__(None, None, None)
     # ---- h(X) (prover.rs:529-548) ----
+    stage = span("evaluate_h + vanishing"); stage.__enter__()
     ev = Evaluator(pk)
     h_poly = ev.evaluate_h(
         advice_polys_all, instance_polys_all, challenges,
@@ -248,8 +259,10 @@ def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[Li
         vanishing_committed, params, domain, h_poly, rng, transcript
     )
 
+    stage.__exit__(None, None, None)
     x = int(transcript.squeeze_challenge())
     xn = pow(x, n, p)
+    stage = span("evaluations at x"); stage.__enter__()
 
     if query_instance:
         for polys in instance_polys_all:
@@ -287,7 +300,9 @@ def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[Li
         for proof_lookups in lookups_committed
     ]
 
+    stage.__exit__(None, None, None)
     # ---- multiopen queries (prover.rs:643-695) ----
+    stage = span("multiopen"); stage.__enter__()
     queries: List[ProverQuery] = []
     for proof_idx in range(len(circuits)):
         if query_instance:
@@ -320,3 +335,5 @@ def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[Li
     queries.extend(vanishing.open_vanishing(vanishing_evaluated, F, x))
 
     multiopen_prove_fn(params, rng, transcript, queries)
+    stage.__exit__(None, None, None)
+    report_totals()
