@@ -24,7 +24,7 @@ import numpy as np
 from halo2_tpu.fields import Fq
 from halo2_tpu.ops.field_jax import FieldCtx
 from halo2_tpu.ops.limbs import NLIMBS
-from halo2_tpu.ops.ntt import NttPlan
+from halo2_tpu.ops.ntt import get_plan
 
 K = int(os.environ.get("BENCH_K", "20"))
 RUST_ANCHOR_ELEMS_PER_S = 1.0e7  # reference-class CPU best_fft anchor
@@ -34,7 +34,7 @@ def main():
     n = 1 << K
     p = Fq.MODULUS
     omega = pow(Fq.ROOT_OF_UNITY, 1 << (Fq.S - K), p)
-    plan = NttPlan(Fq, K, omega)
+    plan = get_plan(Fq, K, omega)
     ctx = FieldCtx(Fq)
 
     rng = np.random.default_rng(0)

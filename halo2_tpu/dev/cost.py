@@ -14,7 +14,7 @@ from dataclasses import dataclass
 from typing import Type
 
 from ..frontend import Value
-from ..frontend.floor_planner import SimpleFloorPlanner
+from ..frontend.floor_planner import synthesize_circuit
 from ..plonk.constraint_system import ConstraintSystem
 from ..poly import Rotation
 
@@ -98,7 +98,7 @@ class CircuitCost:
         cs = ConstraintSystem()
         config = type(circuit).configure(cs)
         assembly = _SelectorAssembly(k, cs.num_selectors)
-        SimpleFloorPlanner.synthesize(assembly, circuit, config, cs.constants)
+        synthesize_circuit(assembly, circuit, config, cs.constants)
         cs.compress_selectors(assembly.selectors)
         assert (1 << k) >= cs.minimum_rows()
 

@@ -15,7 +15,7 @@ from typing import Any, Dict, List, Optional, Set, Tuple, Type
 
 from ..fields import FieldElement
 from ..frontend import Value
-from ..frontend.floor_planner import SimpleFloorPlanner
+from ..frontend.floor_planner import synthesize_circuit
 from ..plonk.assigned import Assigned
 from ..plonk.constraint_system import ConstraintSystem, Gate
 from ..plonk.error import InstanceTooLarge, NotEnoughRowsAvailable, SynthesisError
@@ -123,7 +123,7 @@ class MockProver:
         for phase in cs.phases():
             prover.current_phase = phase
             prover.regions = []  # regions are re-tracked each phase pass
-            SimpleFloorPlanner.synthesize(prover, circuit, config, cs.constants)
+            synthesize_circuit(prover, circuit, config, cs.constants)
             for idx, ch_phase in enumerate(cs.challenge_phase):
                 if ch_phase == phase and idx not in prover.challenges:
                     prover.challenges[idx] = rng.randrange(field_cls.MODULUS)

@@ -270,3 +270,208 @@ class SimpleFloorPlanner:
     def synthesize(cs, circuit, config, constants: List[Column]):
         layouter = SingleChipLayouter(cs, constants)
         return circuit.synthesize(config, layouter)
+
+
+def planner_of(circuit):
+    """The circuit's floor planner (Circuit::FloorPlanner); defaults to
+    SimpleFloorPlanner."""
+    return getattr(type(circuit), "floor_planner", None) or SimpleFloorPlanner
+
+
+def synthesize_circuit(cs, circuit, config, constants: List[Column]):
+    return planner_of(circuit).synthesize(cs, circuit, config, constants)
+
+
+# ---------------------------------------------------------------------------
+# V1 floor planner (reference circuit/floor_planner/v1.rs + v1/strategy.rs)
+# ---------------------------------------------------------------------------
+
+
+def _rc_sort_key(rc: RegionColumn):
+    """Consensus-critical ordering: Instance < Advice(by phase) < Fixed,
+    then index; columns before selectors (reference plonk/circuit.rs:243-259,
+    layouter.rs RegionColumn Ord)."""
+    kind, inner = rc
+    if kind == "column":
+        order = {INSTANCE: (0, 0), ADVICE: (1, getattr(inner, "phase", 0)), FIXED: (2, 0)}[
+            inner.kind
+        ]
+        return (0, order[0], order[1], inner.index)
+    return (1, 0, 0, inner.index)
+
+
+class Allocations:
+    """Disjoint allocated [start, start+length) intervals in one column
+    (v1/strategy.rs:44-99)."""
+
+    def __init__(self):
+        self.items: List[Tuple[int, int]] = []  # sorted (start, length)
+
+    def unbounded_interval_start(self) -> int:
+        if not self.items:
+            return 0
+        s, l = self.items[-1]
+        return s + l
+
+    def free_intervals(self, start: int, end: Optional[int]):
+        """Yield (space_start, space_end_or_None) for unallocated gaps
+        intersecting [start, end)."""
+        row = start
+        for (s, l) in self.items:
+            if end is not None and s >= end:
+                return
+            if row < s:
+                yield (row, s)
+            row = max(row, s + l)
+        if end is None or row < end:
+            yield (row, end)
+
+    def insert(self, start: int, length: int):
+        self.items.append((start, length))
+        self.items.sort()
+
+
+def _first_fit_region(column_allocations, region_columns, region_length, start, slack):
+    """v1/strategy.rs:107-160: find the first row at which the region fits
+    in all its columns simultaneously."""
+    if not region_columns:
+        return start
+    c = region_columns[0]
+    rest = region_columns[1:]
+    end = (start + region_length + slack) if slack is not None else None
+    alloc = column_allocations.setdefault(c, Allocations())
+    for (s_start, s_end) in list(alloc.free_intervals(start, end)):
+        s_slack = None if s_end is None else (s_end - s_start) - region_length
+        if slack is not None and s_slack is not None:
+            assert s_slack <= slack
+        if s_slack is None or s_slack >= 0:
+            row = _first_fit_region(
+                column_allocations, rest, region_length, s_start, s_slack
+            )
+            if row is not None:
+                column_allocations[c].insert(row, region_length)
+                return row
+    return None
+
+
+def slot_in_biggest_advice_first(region_shapes: List[RegionShape]):
+    """v1/strategy.rs:197-225: sort regions by advice area (descending),
+    first-fit each, then restore original region order."""
+
+    def advice_area(shape: RegionShape) -> int:
+        advice_cols = sum(
+            1
+            for (kind, inner) in shape.columns
+            if kind == "column" and inner.kind == ADVICE
+        )
+        return advice_cols * shape.row_count
+
+    order = sorted(range(len(region_shapes)), key=lambda i: advice_area(region_shapes[i]))
+    order.reverse()
+    column_allocations: Dict[RegionColumn, Allocations] = {}
+    starts = [0] * len(region_shapes)
+    for i in order:
+        shape = region_shapes[i]
+        cols = sorted(shape.columns, key=_rc_sort_key)
+        start = _first_fit_region(column_allocations, cols, shape.row_count, 0, None)
+        assert start is not None
+        starts[i] = start
+    return starts, column_allocations
+
+
+class _V1Layouter(SingleChipLayouter):
+    """Assignment-pass layouter with pre-planned region starts."""
+
+    def __init__(self, cs, constants, planned_starts):
+        super().__init__(cs, constants)
+        self._planned = planned_starts
+        self._next_region = 0
+        self.collected_constants: List[Tuple[Assigned, Cell]] = []
+
+    def assign_region(self, name: str, fn: Callable[[Region], Any]):
+        region_index = self._next_region
+        self._next_region += 1
+        self.regions.append(self._planned[region_index])
+
+        self.cs.enter_region(name)
+        region = _SingleChipRegion(self, region_index)
+        result = fn(Region(region))
+        self.collected_constants.extend(region.constants)
+        self.cs.exit_region()
+        return result
+
+
+class _MeasureLayouter(Layouter):
+    """Measurement pass: collect RegionShapes via without_witnesses synth."""
+
+    def __init__(self, cs):
+        self.cs = cs
+        self.shapes: List[RegionShape] = []
+
+    def assign_region(self, name, fn):
+        shape = RegionShape(len(self.shapes))
+        result = fn(Region(shape))
+        self.shapes.append(shape)
+        return result
+
+    def assign_table(self, name, fn):
+        pass  # tables are placed by the assignment pass
+
+    def constrain_instance(self, cell, instance, row):
+        pass
+
+    def get_challenge(self, challenge):
+        return Value.unknown()
+
+    def get_root(self):
+        return self
+
+    def push_namespace(self, name):
+        pass
+
+    def pop_namespace(self, gadget_name=None):
+        pass
+
+
+class V1FloorPlanner:
+    """Dual-pass floor planner (reference floor_planner/v1.rs:28-140):
+    measure all regions via `without_witnesses`, plan with
+    slot_in_biggest_advice_first, then synthesize with planned starts and
+    place constants in the free space of the constants columns."""
+
+    @staticmethod
+    def synthesize(cs, circuit, config, constants: List[Column]):
+        measure = _MeasureLayouter(cs)
+        circuit.without_witnesses().synthesize(config, measure)
+
+        starts, column_allocations = slot_in_biggest_advice_first(measure.shapes)
+        first_unassigned_row = max(
+            (a.unbounded_interval_start() for a in column_allocations.values()),
+            default=0,
+        )
+
+        layouter = _V1Layouter(cs, constants, starts)
+        result = circuit.synthesize(config, layouter)
+
+        # place constants in free intervals of the constants columns
+        positions = []
+        for c in constants:
+            alloc = column_allocations.get(_rc_column(c), Allocations())
+            for (s, e) in alloc.free_intervals(0, first_unassigned_row):
+                positions.extend((c, row) for row in range(s, e))
+        if len(positions) < len(layouter.collected_constants):
+            raise NotEnoughColumnsForConstants()
+        for (fixed_column, fixed_row), (value, advice) in zip(
+            positions, layouter.collected_constants
+        ):
+            cs.assign_fixed(
+                f"Constant({value!r})", fixed_column, fixed_row,
+                lambda v=value: Value.known(v),
+            )
+            cs.copy(
+                fixed_column,
+                fixed_row,
+                advice.column,
+                layouter.regions[advice.region_index] + advice.row_offset,
+            )
+        return result

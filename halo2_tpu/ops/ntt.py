@@ -100,6 +100,23 @@ class NttPlan:
             return jax.vmap(self._ntt)(flat).reshape(a.shape)
 
 
+def get_plan(field: Type[FieldElement], log_n: int, omega: int):
+    """Runtime-dispatched NTT implementation (reference fft.rs:15-44 env
+    dispatcher; `NTT=jnp|pallas`, default pallas on TPU for log_n >= 10)."""
+    import os
+
+    impl = os.environ.get("NTT", "auto")
+    if impl == "jnp":
+        return NttPlan(field, log_n, omega)
+    if impl == "pallas" or (
+        impl == "auto" and log_n >= 10 and jax.default_backend() == "tpu"
+    ):
+        from .ntt_pallas import PallasNttPlan
+
+        return PallasNttPlan(field, log_n, omega)
+    return NttPlan(field, log_n, omega)
+
+
 def ntt(a: jnp.ndarray, field: Type[FieldElement], omega: int) -> jnp.ndarray:
     """Forward DFT of (..., n, 16) Montgomery limbs with root `omega` (int)."""
     n = a.shape[-2]

@@ -17,7 +17,7 @@ from typing import List, Optional, Type
 from ..curves import Curve, Point
 from ..fields import FieldElement
 from ..frontend import Value
-from ..frontend.floor_planner import SimpleFloorPlanner
+from ..frontend.floor_planner import synthesize_circuit
 from ..poly import COEFF, LAGRANGE, FVec, Polynomial, Rotation
 from ..poly.commitment import Blind
 from ..poly.domain import EvaluationDomain
@@ -304,7 +304,7 @@ def keygen_vk(params, circuit) -> VerifyingKey:
         raise NotEnoughRowsAvailable(k)
 
     assembly = Assembly(field, k, cs, n)
-    SimpleFloorPlanner.synthesize(assembly, circuit, config, cs.constants)
+    synthesize_circuit(assembly, circuit, config, cs.constants)
 
     fixed_cols = batch_invert_assigned(field.MODULUS, assembly.fixed)
     selectors_snapshot = [list(s) for s in assembly.selectors]
@@ -336,7 +336,7 @@ def keygen_pk(params, vk: VerifyingKey, circuit) -> ProvingKey:
     domain = vk.domain
 
     assembly = Assembly(field, k, cs0, n)
-    SimpleFloorPlanner.synthesize(assembly, circuit, config, cs0.constants)
+    synthesize_circuit(assembly, circuit, config, cs0.constants)
 
     fixed_cols = batch_invert_assigned(field.MODULUS, assembly.fixed)
     selector_polys = cs0.compress_selectors(assembly.selectors)

@@ -10,7 +10,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional
 
 from ..frontend import Value
-from ..frontend.floor_planner import SimpleFloorPlanner
+from ..frontend.floor_planner import synthesize_circuit
 from ..poly import COEFF, LAGRANGE, FVec, Polynomial, Rotation, eval_polynomial_host
 from ..poly.commitment import Blind, ProverQuery
 from . import lookup_prover, permutation_prover, vanishing
@@ -172,7 +172,7 @@ def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[Li
                 F, params.k, current_phase, cs,
                 instance_values_all[circuit_idx], challenges, unusable_rows_start,
             )
-            SimpleFloorPlanner.synthesize(witness, circuit, config, cs.constants)
+            synthesize_circuit(witness, circuit, config, cs.constants)
             cols = batch_invert_assigned(
                 p, [witness.advice[i] for i in column_indices]
             )

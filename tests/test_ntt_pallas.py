@@ -1,0 +1,46 @@
+"""Cross-implementation NTT equality (reference `fft.rs:161-224`
+test_fft_all): the fused Pallas four-step plan must agree exactly with the
+jnp radix-2 plan. Runs in Pallas interpreter mode on the CPU backend."""
+
+import random
+
+import pytest
+
+from halo2_tpu.fields import Fq, FrBn
+from halo2_tpu.ops.field_jax import FieldCtx
+from halo2_tpu.ops.ntt import NttPlan
+from halo2_tpu.ops.ntt_pallas import PallasNttPlan
+
+
+@pytest.mark.parametrize("field", [Fq, FrBn])
+@pytest.mark.parametrize("k", [4, 5, 8])
+def test_pallas_ntt_matches_jnp(field, k):
+    n = 1 << k
+    p = field.MODULUS
+    omega = pow(field.ROOT_OF_UNITY, 1 << (field.S - k), p)
+    random.seed(1000 + k)
+    vals = [random.randrange(p) for _ in range(n)]
+    ctx = FieldCtx(field)
+    a = ctx.encode_ints(vals)
+    ref = ctx.decode_ints(NttPlan(field, k, omega)(a))
+    out = ctx.decode_ints(PallasNttPlan(field, k, omega)(a))
+    assert ref == out
+
+
+def test_pallas_intt_roundtrip():
+    k = 6
+    n = 1 << k
+    p = Fq.MODULUS
+    omega = pow(Fq.ROOT_OF_UNITY, 1 << (Fq.S - k), p)
+    omega_inv = pow(omega, -1, p)
+    n_inv = pow(n, -1, p)
+    random.seed(7)
+    vals = [random.randrange(p) for _ in range(n)]
+    ctx = FieldCtx(Fq)
+    a = ctx.encode_ints(vals)
+    fwd = PallasNttPlan(Fq, k, omega)(a)
+    back = PallasNttPlan(Fq, k, omega_inv)(fwd)
+    import jax.numpy as jnp
+
+    back = ctx.mul(back, jnp.broadcast_to(ctx.const(n_inv), back.shape))
+    assert ctx.decode_ints(back) == vals
