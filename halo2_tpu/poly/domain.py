@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..fields import FieldElement, batch_invert
 from ..ops import field_jax as fj
 from ..ops.limbs import NLIMBS, ints_to_limbs
-from ..ops.ntt import NttPlan, powers
+from ..ops.ntt import get_plan, powers
 from . import COEFF, EXTENDED, LAGRANGE, FVec, Polynomial, Rotation
 
 
@@ -68,7 +68,7 @@ class EvaluationDomain:
         self.extended_ifft_divisor = pow(1 << extended_k, -1, p)
         self.barycentric_weight = pow(self.n, -1, p)
 
-        self._plan = lambda log_n, omega: NttPlan(field, log_n, omega)
+        self._plan = lambda log_n, omega: get_plan(field, log_n, omega)
 
     # ---------------- constructors ----------------
     def empty_lagrange(self) -> Polynomial:

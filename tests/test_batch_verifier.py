@@ -1,0 +1,43 @@
+"""BatchVerifier (reference plonk/verifier/batch.rs, feature `batch`)."""
+
+import pytest
+
+from halo2_tpu.curves import Vesta
+from halo2_tpu.fields import Fp
+from halo2_tpu.plonk.batch import BatchVerifier
+from halo2_tpu.plonk.keygen import keygen_pk, keygen_vk
+from halo2_tpu.plonk.prover import create_proof
+from halo2_tpu.poly.ipa import ParamsIPA
+from halo2_tpu.transcript import Blake2bWrite
+from halo2_tpu.utils.chacha import ChaCha20Rng
+
+from circuits import MulCircuit
+
+
+def _proof(params, pk, a, b, seed):
+    p = Fp.MODULUS
+    c = 7 * a * a % p * b % p * b % p
+    t = Blake2bWrite(Vesta)
+    create_proof(params, pk, [MulCircuit(7, a, b)], [[[c]]], ChaCha20Rng(seed), t)
+    return [[[c]]], t.finalize()
+
+
+def test_batch_verifier():
+    params = ParamsIPA.cached(Vesta, 4)
+    vk = keygen_vk(params, MulCircuit(7))
+    pk = keygen_pk(params, vk, MulCircuit(7))
+
+    batch = BatchVerifier()
+    for i, (a, b) in enumerate([(2, 3), (4, 5), (1, 9)]):
+        inst, proof = _proof(params, pk, a, b, bytes([i + 1]) * 32)
+        batch.add_proof(inst, proof)
+    assert batch.finalize(params, vk, ChaCha20Rng(b"\x55" * 32)) is True
+
+    # one bad instance poisons the batch
+    bad = BatchVerifier()
+    inst, proof = _proof(params, pk, 2, 3, b"\x07" * 32)
+    bad.add_proof(inst, proof)
+    bad_inst = [[[(inst[0][0][0] + 1) % Fp.MODULUS]]]
+    inst2, proof2 = _proof(params, pk, 4, 5, b"\x08" * 32)
+    bad.add_proof(bad_inst[0], proof2)
+    assert bad.finalize(params, vk, ChaCha20Rng(b"\x56" * 32)) is False
