@@ -51,12 +51,44 @@ class RegionInfo:
 
 
 @dataclass
+class FailureLocation:
+    """Reference dev/failure.rs FailureLocation::{InRegion, OutsideRegion}."""
+
+    kind: str  # "in_region" | "outside_region"
+    region_index: Optional[int] = None
+    region_name: Optional[str] = None
+    offset: Optional[int] = None
+    row: Optional[int] = None
+
+    @staticmethod
+    def find(regions, row: int) -> "FailureLocation":
+        for region in regions:
+            if region.rows is not None and region.rows[0] <= row <= region.rows[1]:
+                return FailureLocation(
+                    "in_region", region.index, region.name, row - region.rows[0]
+                )
+        return FailureLocation("outside_region", row=row)
+
+    def __str__(self):
+        if self.kind == "in_region":
+            return f"in Region {self.region_index} ('{self.region_name}') at offset {self.offset}"
+        return f"outside any region, on row {self.row}"
+
+
+@dataclass
 class VerifyFailure:
     kind: str  # cell_not_assigned | constraint | constraint_poisoned | lookup | permutation
     detail: str
+    location: Optional[FailureLocation] = None
+    cell_values: Optional[List[Tuple[str, str]]] = None  # (cell repr, value)
 
     def __str__(self):
-        return f"{self.kind}: {self.detail}"
+        s = f"{self.kind}: {self.detail}"
+        if self.location is not None:
+            s += f" [{self.location}]"
+        if self.cell_values:
+            s += "".join(f"\n  {c} = {v}" for c, v in self.cell_values)
+        return s
 
 
 class MockProver:
@@ -298,11 +330,26 @@ class MockProver:
                             )
                         )
                     elif v[1] != 0:
+                        cell_values = []
+                        for column, rotation in gate.queried_cells:
+                            crow = (row + rotation.i) % self.n
+                            if column.kind == INSTANCE:
+                                val = self.instance[column.index][crow][1]
+                            else:
+                                store = self.fixed if column.kind == FIXED else self.advice
+                                cv = store[column.index][crow]
+                                val = (
+                                    "unassigned" if cv is UNASSIGNED
+                                    else ("poison" if _is_poison(cv) else f"0x{cv[1]:x}")
+                                )
+                            cell_values.append((f"{column}@{rotation.i}", str(val)))
                         failures.append(
                             VerifyFailure(
                                 "constraint",
                                 f"gate {gate_idx} '{gate.name}' constraint "
                                 f"'{gate.constraint_names[poly_idx]}' not satisfied at row {row}",
+                                location=FailureLocation.find(self.regions, row),
+                                cell_values=cell_values,
                             )
                         )
 
@@ -325,6 +372,7 @@ class MockProver:
                         VerifyFailure(
                             "lookup",
                             f"lookup {lk_idx} '{lk.name}' input {inputs} at row {row} not in table",
+                            location=FailureLocation.find(self.regions, row),
                         )
                     )
 

@@ -271,7 +271,12 @@ class PallasNttPlan:
         ]
         args = [x, lvl["stw"], self.consts]
         if with_tw:
+            tw = lvl["inter"]
             tw_width = lvl["tw_width"]
+            if W < tw_width:
+                # small batch: a single W-wide block; period g divides W
+                tw = tw[:, :, :W]
+                tw_width = W
             nblk = max(1, tw_width // W)
             in_specs.append(
                 pl.BlockSpec(
@@ -280,7 +285,7 @@ class PallasNttPlan:
                     memory_space=pltpu.VMEM,
                 )
             )
-            args.append(lvl["inter"])
+            args.append(tw)
         return pl.pallas_call(
             kernel,
             grid=(batch // W,),

@@ -12,8 +12,7 @@ from halo2_tpu.ops.ntt import NttPlan
 from halo2_tpu.ops.ntt_pallas import PallasNttPlan
 
 
-@pytest.mark.parametrize("field", [Fq, FrBn])
-@pytest.mark.parametrize("k", [4, 5, 8])
+@pytest.mark.parametrize("field,k", [(Fq, 4), (Fq, 9), (FrBn, 5)])
 def test_pallas_ntt_matches_jnp(field, k):
     n = 1 << k
     p = field.MODULUS
