@@ -67,6 +67,178 @@ class Evaluator:
 
     def evaluate_h(
         self,
+        advice_polys: List[List[Polynomial]],
+        instance_polys: List[List[Polynomial]],
+        challenges: List[int],
+        y: int,
+        beta: int,
+        gamma: int,
+        theta: int,
+        lookups: List[List],
+        permutations: List,
+    ) -> Polynomial:
+        """Dispatch: part-wise walk (the fork's memory-optimized engine,
+        default) or the full extended-domain fold (EVAL_H=full)."""
+        import os
+
+        if os.environ.get("EVAL_H", "parts") == "full":
+            return self.evaluate_h_full(
+                advice_polys, instance_polys, challenges, y, beta, gamma,
+                theta, lookups, permutations,
+            )
+        return self.evaluate_h_parts(
+            advice_polys, instance_polys, challenges, y, beta, gamma, theta,
+            lookups, permutations,
+        )
+
+    def evaluate_h_parts(
+        self,
+        advice_polys: List[List[Polynomial]],
+        instance_polys: List[List[Polynomial]],
+        challenges: List[int],
+        y: int,
+        beta: int,
+        gamma: int,
+        theta: int,
+        lookups: List[List],
+        permutations: List,
+    ) -> Polynomial:
+        """Part-wise quotient evaluation (reference plonk/evaluation.rs
+        :394-975 + domain.rs:314-495): walk the extended domain in
+        extended_n/n parts, materializing only O(n) coset evaluations per
+        column per part. Part i holds the evaluations at
+        zeta * ext_omega^i * omega^t, so base-row rotations act within a
+        part as plain rolls, and the per-part coset abscissa is
+        (zeta * ext_omega^i) * omega^t."""
+        pk = self.pk
+        domain = self.domain
+        F = self.field
+        p = F.MODULUS
+        cs = pk.vk.cs
+        n = domain.n
+        m = domain.extended_n >> domain.k
+
+        blinding = cs.blinding_factors()
+        last_rotation = -(blinding + 1)
+        chunk_len = pk.vk.cs_degree - 2
+        delta = F.DELTA
+
+        part_results: List[Polynomial] = []
+        factor = 1
+        for part_idx in range(m):
+            ext_cache: Dict[int, FVec] = {}
+            shift = domain.g_coset * factor % p
+
+            def ext(poly: Polynomial, _f=factor) -> FVec:
+                key = id(poly)
+                if key not in ext_cache:
+                    ext_cache[key] = domain.coeff_to_extended_part(
+                        poly.copy(), _f
+                    ).vec
+                return ext_cache[key]
+
+            def rot(vec: FVec, r: int) -> FVec:
+                return vec.rotate(r)
+
+            fixed_ext = [ext(poly) for poly in pk.fixed_polys]
+            l0 = ext(pk.l0)
+            l_last = ext(pk.l_last)
+            l_active = ext(pk.l_active_row)
+            pw = powers(domain.omega, n, domain.ctx)
+            shift_c = domain.ctx.const(shift)
+            coset_x = FVec(F, domain.ctx.mul(pw, jnp.broadcast_to(shift_c, pw.shape)))
+
+            def const_vec(c: int) -> FVec:
+                return FVec.fill(F, n, c)
+
+            one = const_vec(1)
+            h: Optional[FVec] = None
+
+            def fold(value: FVec):
+                nonlocal h
+                h = value if h is None else h * F(y) + value
+
+            def eval_expr(expr: Expression, advice_ext, instance_ext) -> FVec:
+                return expr.evaluate(
+                    constant=lambda c: const_vec(c),
+                    selector=lambda s: (_ for _ in ()).throw(
+                        ValueError("virtual selector in evaluate_h")
+                    ),
+                    fixed=lambda q: rot(fixed_ext[q.column_index], q.rotation.i),
+                    advice=lambda q: rot(advice_ext[q.column_index], q.rotation.i),
+                    instance=lambda q: rot(instance_ext[q.column_index], q.rotation.i),
+                    challenge=lambda c: const_vec(challenges[c.index]),
+                    negated=lambda a: -a,
+                    sum_=lambda a, b: a + b,
+                    product=lambda a, b: a * b,
+                    scaled=lambda a, f: a * F(f),
+                )
+
+            for proof_idx in range(len(advice_polys)):
+                advice_ext = [ext(poly) for poly in advice_polys[proof_idx]]
+                instance_ext = [ext(poly) for poly in instance_polys[proof_idx]]
+
+                for gate in cs.gates:
+                    for poly in gate.polys:
+                        fold(eval_expr(poly, advice_ext, instance_ext))
+
+                perm = permutations[proof_idx]
+                sets = perm.sets
+                if sets:
+                    z_ext = [ext(s.poly) for s in sets]
+                    fold(l0 * (one - z_ext[0]))
+                    zl = z_ext[-1]
+                    fold(l_last * (zl * zl - zl))
+                    for i in range(1, len(sets)):
+                        fold(l0 * (z_ext[i] - rot(z_ext[i - 1], last_rotation)))
+                    sigma_ext = [ext(sp) for sp in pk.permutation.polys]
+                    columns = cs.permutation.columns
+                    for chunk_index, set_i in enumerate(sets):
+                        cols = columns[chunk_index * chunk_len : (chunk_index + 1) * chunk_len]
+                        sigmas = sigma_ext[chunk_index * chunk_len : (chunk_index + 1) * chunk_len]
+                        left = rot(z_ext[chunk_index], 1)
+                        for col, sigma in zip(cols, sigmas):
+                            cv = self._column_part(col, fixed_ext, advice_ext, instance_ext)
+                            left = left * (cv + sigma * F(beta) + F(gamma))
+                        right = z_ext[chunk_index]
+                        delta_pow = pow(delta, chunk_index * chunk_len, p)
+                        cur = beta * delta_pow % p
+                        for col in cols:
+                            cv = self._column_part(col, fixed_ext, advice_ext, instance_ext)
+                            right = right * (cv + coset_x * F(cur) + F(gamma))
+                            cur = cur * delta % p
+                        fold(l_active * (left - right))
+
+                for lk_idx, committed in enumerate(lookups[proof_idx]):
+                    argument = cs.lookups[lk_idx]
+                    z = ext(committed.product_poly)
+                    a_prime = ext(committed.permuted_input_poly)
+                    s_prime = ext(committed.permuted_table_poly)
+                    fold(l0 * (one - z))
+                    fold(l_last * (z * z - z))
+
+                    def compress(expressions):
+                        acc = const_vec(0)
+                        for e in expressions:
+                            acc = acc * F(theta) + eval_expr(e, advice_ext, instance_ext)
+                        return acc
+
+                    inp = compress(argument.input_expressions)
+                    tab = compress(argument.table_expressions)
+                    left = rot(z, 1) * (a_prime + F(beta)) * (s_prime + F(gamma))
+                    right = z * (inp + F(beta)) * (tab + F(gamma))
+                    fold(l_active * (left - right))
+                    fold(l0 * (a_prime - s_prime))
+                    fold(l_active * (a_prime - s_prime) * (a_prime - rot(a_prime, -1)))
+
+            assert h is not None, "no constraints to evaluate"
+            part_results.append(Polynomial(LAGRANGE, h))
+            factor = factor * domain.extended_omega % p
+
+        return domain.lagrange_vec_to_extended(part_results)
+
+    def evaluate_h_full(
+        self,
         advice_polys: List[List[Polynomial]],  # per proof, coeff basis
         instance_polys: List[List[Polynomial]],
         challenges: List[int],
@@ -218,6 +390,8 @@ class Evaluator:
         if column.kind == ADVICE:
             return advice_ext[column.index]
         return instance_ext[column.index]
+
+    _column_part = _column_ext
 
 
 def fixed_ext_lookup(pk, column, fixed_ext):
