@@ -18,13 +18,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import jax.numpy as jnp
 import numpy as np
 
 from halo2_tpu.fields import Fq
 from halo2_tpu.ops.field_jax import FieldCtx
 from halo2_tpu.ops.limbs import NLIMBS
-from halo2_tpu.ops.ntt import get_plan
+from halo2_tpu.ops.ntt import NttPlan, get_plan
 
 K = int(os.environ.get("BENCH_K", "20"))
 RUST_ANCHOR_ELEMS_PER_S = 1.0e7  # reference-class CPU best_fft anchor
@@ -42,8 +49,15 @@ def main():
     a = jnp.asarray(rng.integers(0, 1 << 16, size=(n, NLIMBS), dtype=np.uint32))
     a = ctx.to_mont(ctx.from_mont(a))  # normalize into the valid domain
 
-    out = plan(a)
-    jax.block_until_ready(out)  # compile + warmup
+    try:
+        out = plan(a)
+        jax.block_until_ready(out)  # compile + warmup
+    except Exception:
+        # fall back to the jnp radix-2 plan if the fused kernel cannot
+        # compile in this environment
+        plan = NttPlan(Fq, K, omega)
+        out = plan(a)
+        jax.block_until_ready(out)
 
     iters = 5
     t0 = time.perf_counter()
