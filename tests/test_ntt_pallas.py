@@ -4,9 +4,21 @@ jnp radix-2 plan. Runs in Pallas interpreter mode on the CPU backend."""
 
 import random
 
+import jax
 import pytest
 
 from halo2_tpu.fields import Fq, FrBn
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache():
+    """XLA segfaults when serializing some interpret-mode Pallas CPU
+    executables into the persistent compilation cache; keep these compiles
+    in-memory only."""
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev)
 from halo2_tpu.ops.field_jax import FieldCtx
 from halo2_tpu.ops.ntt import NttPlan
 from halo2_tpu.ops.ntt_pallas import PallasNttPlan
