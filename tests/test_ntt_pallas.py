@@ -14,11 +14,16 @@ from halo2_tpu.fields import Fq, FrBn
 def _no_persistent_cache():
     """XLA segfaults when serializing some interpret-mode Pallas CPU
     executables into the persistent compilation cache; keep these compiles
-    in-memory only."""
+    in-memory only. The initialized cache singleton must be reset for the
+    config change to take effect."""
+    from jax._src import compilation_cache as _cc
+
     prev = jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", None)
+    _cc.reset_cache()
     yield
     jax.config.update("jax_compilation_cache_dir", prev)
+    _cc.reset_cache()
 from halo2_tpu.ops.field_jax import FieldCtx
 from halo2_tpu.ops.ntt import NttPlan
 from halo2_tpu.ops.ntt_pallas import PallasNttPlan
