@@ -124,6 +124,14 @@ class SinsemillaChip:
         """SinsemillaHashToPoint over witnessed words, starting from the
         fixed domain point Q (hash_to_point.rs)."""
         witnessed = self.witness_message_words(layouter, words)
+        return self.hash_to_point_from_witnessed(layouter, q_point, witnessed)
+
+    def hash_to_point_from_witnessed(
+        self, layouter: Layouter, q_point: Point,
+        witnessed: List[Tuple[AssignedCell, NonIdentityEccPoint]],
+    ) -> NonIdentityEccPoint:
+        """The accumulator fold over already-witnessed words (used by the
+        Merkle chip, which also binds the word cells to node values)."""
         # Q is a public constant of the domain: witness + constrain to constants
         ecc = self.ecc
 

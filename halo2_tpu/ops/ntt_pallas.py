@@ -331,4 +331,32 @@ class PallasNttPlan:
 
     def __call__(self, a: jnp.ndarray) -> jnp.ndarray:
         assert a.shape == (self.n, NLIMBS)
+        if self.interpret and not getattr(self, "_warm", False):
+            # XLA segfaults (de)serializing interpret-mode Pallas CPU
+            # executables through the persistent compilation cache; compile
+            # the first call with the cache scoped off.
+            with _no_persistent_cache():
+                out = self._fn(a)
+            self._warm = True
+            return out
         return self._fn(a)
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _no_persistent_cache():
+    from jax._src import compilation_cache as _cc
+
+    prev = jax.config.jax_compilation_cache_dir
+    if prev is None:
+        yield
+        return
+    jax.config.update("jax_compilation_cache_dir", None)
+    _cc.reset_cache()
+    try:
+        yield
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+        _cc.reset_cache()

@@ -22,11 +22,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: limb-arithmetic graphs are large (hundreds of
-# scalar-limb ops) and CPU XLA takes 10-30s per kernel; cache across runs.
-_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NOTE: the persistent compilation cache is deliberately NOT enabled for the
+# suite: XLA:CPU segfaults (de)serializing some of the large limb-arithmetic
+# / Pallas executables once ~100 programs have been compiled in one process
+# (put_executable_and_time / get_executable_and_time). Standalone scripts
+# (bench.py, __graft_entry__) still use their own cache dirs, where this has
+# proven stable. Cache large one-off compiles per-module via subprocesses
+# instead (see test_ntt_pallas.py).
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 3600)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,36 +1,37 @@
 """Cross-implementation NTT equality (reference `fft.rs:161-224`
 test_fft_all): the fused Pallas four-step plan must agree exactly with the
-jnp radix-2 plan. Runs in Pallas interpreter mode on the CPU backend."""
+jnp radix-2 plan.
 
-import random
+Interpret-mode Pallas compiles are large; after ~100 suite tests in one
+process XLA:CPU can segfault compiling them (memory pressure), so each
+equality case runs in a fresh subprocess. The small round-trip test stays
+in-process."""
 
-import jax
+import os
+import subprocess
+import sys
+import textwrap
+
 import pytest
 
 from halo2_tpu.fields import Fq, FrBn
 
+_SNIPPET = textwrap.dedent(
+    """
+    import os
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import sys
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import random
+    from halo2_tpu.fields import Fq, FrBn
+    from halo2_tpu.ops.field_jax import FieldCtx
+    from halo2_tpu.ops.ntt import NttPlan
+    from halo2_tpu.ops.ntt_pallas import PallasNttPlan
 
-@pytest.fixture(autouse=True, scope="module")
-def _no_persistent_cache():
-    """XLA segfaults when serializing some interpret-mode Pallas CPU
-    executables into the persistent compilation cache; keep these compiles
-    in-memory only. The initialized cache singleton must be reset for the
-    config change to take effect."""
-    from jax._src import compilation_cache as _cc
-
-    prev = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
-    _cc.reset_cache()
-    yield
-    jax.config.update("jax_compilation_cache_dir", prev)
-    _cc.reset_cache()
-from halo2_tpu.ops.field_jax import FieldCtx
-from halo2_tpu.ops.ntt import NttPlan
-from halo2_tpu.ops.ntt_pallas import PallasNttPlan
-
-
-@pytest.mark.parametrize("field,k", [(Fq, 4), (Fq, 9), (FrBn, 5)])
-def test_pallas_ntt_matches_jnp(field, k):
+    field = {field}
+    k = {k}
     n = 1 << k
     p = field.MODULUS
     omega = pow(field.ROOT_OF_UNITY, 1 << (field.S - k), p)
@@ -40,10 +41,41 @@ def test_pallas_ntt_matches_jnp(field, k):
     a = ctx.encode_ints(vals)
     ref = ctx.decode_ints(NttPlan(field, k, omega)(a))
     out = ctx.decode_ints(PallasNttPlan(field, k, omega)(a))
-    assert ref == out
+    assert ref == out, "mismatch"
+    print("OK")
+    """
+)
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_pallas_intt_roundtrip():
+@pytest.mark.parametrize("field_name,k", [("Fq", 4), ("Fq", 9), ("FrBn", 5)])
+def test_pallas_ntt_matches_jnp(field_name, k):
+    code = _SNIPPET.format(repo=_REPO, field=field_name, k=k)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    result = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=1200, env=env,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "OK" in result.stdout
+
+
+_ROUNDTRIP_SNIPPET = textwrap.dedent(
+    """
+    import os
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import sys
+    sys.path.insert(0, {repo!r})
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import random
+    from halo2_tpu.fields import Fq
+    from halo2_tpu.ops.field_jax import FieldCtx
+    from halo2_tpu.ops.ntt_pallas import PallasNttPlan
+
     k = 6
     n = 1 << k
     p = Fq.MODULUS
@@ -56,7 +88,20 @@ def test_pallas_intt_roundtrip():
     a = ctx.encode_ints(vals)
     fwd = PallasNttPlan(Fq, k, omega)(a)
     back = PallasNttPlan(Fq, k, omega_inv)(fwd)
-    import jax.numpy as jnp
-
     back = ctx.mul(back, jnp.broadcast_to(ctx.const(n_inv), back.shape))
     assert ctx.decode_ints(back) == vals
+    print("OK")
+    """
+)
+
+
+def test_pallas_intt_roundtrip():
+    code = _ROUNDTRIP_SNIPPET.format(repo=_REPO)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    result = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=1200, env=env,
+    )
+    assert result.returncode == 0, result.stderr[-2000:]
+    assert "OK" in result.stdout
