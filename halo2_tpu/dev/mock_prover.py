@@ -289,11 +289,147 @@ class MockProver:
             scaled=lambda a, f: a if a[0] == "poison" else ("real", a[1] * f % p),
         )
 
-    def verify(self) -> List[VerifyFailure]:
+    def verify(self, vectorized: Optional[bool] = None) -> List[VerifyFailure]:
+        """Full constraint check. `vectorized=True` (auto for large n)
+        evaluates each gate/lookup expression over all rows at once with the
+        JAX limb backend (the TPU-native analogue of `verify_at_rows_par`,
+        dev.rs:1180+); the row-loop path keeps the reference's exact lazy
+        poison semantics."""
+        if vectorized is None:
+            vectorized = self.n >= 8192
+        if vectorized:
+            return self._verify_vectorized()
+        return self._verify_rows()
+
+    def _verify_vectorized(self) -> List[VerifyFailure]:
+        import numpy as np
+
+        from ..poly import FVec
+
         failures: List[VerifyFailure] = []
         p = self.p
+        n = self.n
 
-        # 1. CellNotAssigned (dev.rs:744-784)
+        # CellNotAssigned scan (region-based; cheap)
+        failures.extend(self._check_cells_assigned())
+
+        # materialize columns as ints + poison masks
+        def col_ints(store):
+            vals = np.zeros(n, dtype=object)
+            poison = np.zeros(n, dtype=bool)
+            for row, v in enumerate(store):
+                if v is UNASSIGNED:
+                    pass
+                elif _is_poison(v):
+                    poison[row] = True
+                else:
+                    vals[row] = v[1]
+            return vals, poison
+
+        fixed_cols, advice_cols, inst_cols = [], [], []
+        fixed_poison, advice_poison = [], []
+        for store in self.fixed:
+            v, m = col_ints(store)
+            fixed_cols.append(v)
+            fixed_poison.append(m)
+        for store in self.advice:
+            v, m = col_ints(store)
+            advice_cols.append(v)
+            advice_poison.append(m)
+        for store in self.instance:
+            inst_cols.append(np.array([iv[1] for iv in store], dtype=object))
+
+        fvec_cache: Dict[Tuple[str, int, int], FVec] = {}
+
+        def fv(kind: str, idx: int, rot: int) -> FVec:
+            key = (kind, idx, rot)
+            if key not in fvec_cache:
+                src = {"f": fixed_cols, "a": advice_cols, "i": inst_cols}[kind][idx]
+                base_key = (kind, idx, 0)
+                if base_key not in fvec_cache:
+                    fvec_cache[base_key] = FVec.from_ints(self.field, [int(x) for x in src])
+                fvec_cache[key] = fvec_cache[base_key].rotate(rot % n)
+            return fvec_cache[key]
+
+        sel_cache: Dict[int, FVec] = {}
+
+        def sel_fv(idx: int) -> FVec:
+            if idx not in sel_cache:
+                sel_cache[idx] = FVec.from_ints(
+                    self.field, [1 if b else 0 for b in self.selectors[idx]]
+                )
+            return sel_cache[idx]
+
+        def eval_fvec(expr) -> FVec:
+            return expr.evaluate(
+                constant=lambda c: FVec.fill(self.field, n, c % p),
+                selector=lambda s: sel_fv(s.index),
+                fixed=lambda q: fv("f", q.column_index, q.rotation.i),
+                advice=lambda q: fv("a", q.column_index, q.rotation.i),
+                instance=lambda q: fv("i", q.column_index, q.rotation.i),
+                challenge=lambda c: FVec.fill(
+                    self.field, n, self.challenges.get(c.index, 0)
+                ),
+                negated=lambda a: -a,
+                sum_=lambda a, b: a + b,
+                product=lambda a, b: a * b,
+                scaled=lambda a, f: a * FVec.fill(self.field, n, f % p),
+            )
+
+        # poison mask per gate: any queried non-instance cell poisoned
+        def gate_poison_mask(gate) -> "np.ndarray":
+            mask = np.zeros(n, dtype=bool)
+            for column, rotation in gate.queried_cells:
+                if column.kind == FIXED:
+                    m = fixed_poison[column.index]
+                elif column.kind == ADVICE:
+                    m = advice_poison[column.index]
+                else:
+                    continue
+                mask |= np.roll(m, -rotation.i)
+            return mask
+
+        for gate_idx, gate in enumerate(self.cs.gates):
+            pmask = gate_poison_mask(gate)
+            for poly_idx, poly in enumerate(gate.polys):
+                out = np.array(eval_fvec(poly).to_ints(), dtype=object)
+                bad_rows = np.nonzero((out != 0) & ~pmask)[0]
+                for row in bad_rows[:20]:
+                    row = int(row)
+                    failures.append(
+                        VerifyFailure(
+                            "constraint",
+                            f"gate {gate_idx} '{gate.name}' constraint "
+                            f"'{gate.constraint_names[poly_idx]}' not satisfied at row {row}",
+                            location=FailureLocation.find(self.regions, row),
+                        )
+                    )
+
+        # lookups over usable rows
+        for lk_idx, lk in enumerate(self.cs.lookups):
+            table_cols = [eval_fvec(te).to_ints() for te in lk.table_expressions]
+            input_cols = [eval_fvec(ie).to_ints() for ie in lk.input_expressions]
+            u = self.usable_rows
+            table = set(zip(*(tc[:u] for tc in table_cols)))
+            inputs = list(zip(*(ic[:u] for ic in input_cols)))
+            for row, entry in enumerate(inputs):
+                if entry not in table:
+                    failures.append(
+                        VerifyFailure(
+                            "lookup",
+                            f"lookup {lk_idx} '{lk.name}' input {entry} at row {row} "
+                            "not in table",
+                            location=FailureLocation.find(self.regions, row),
+                        )
+                    )
+                    if sum(1 for f in failures if f.kind == "lookup") > 20:
+                        break
+
+        failures.extend(self._check_permutation())
+        return failures
+
+    def _check_cells_assigned(self) -> List[VerifyFailure]:
+        failures: List[VerifyFailure] = []
         for region in self.regions:
             for selector, rows in region.enabled_selectors.items():
                 for gate in self.cs.gates:
@@ -315,6 +451,34 @@ class MockProver:
                                         f"{column} row {cell_row}",
                                     )
                                 )
+        return failures
+
+    def _check_permutation(self) -> List[VerifyFailure]:
+        failures: List[VerifyFailure] = []
+        cols = self.cs.permutation.columns
+        for i, column in enumerate(cols):
+            for row in range(self.n):
+                ci, ri = self.permutation.mapping[i][row]
+                if (i, row) == (ci, ri):
+                    continue
+                a = self._perm_value(column, row)
+                b = self._perm_value(cols[ci], ri)
+                if a != b:
+                    failures.append(
+                        VerifyFailure(
+                            "permutation",
+                            f"copy constraint {column} row {row} != {cols[ci]} row {ri}"
+                            f" ({a} vs {b})",
+                        )
+                    )
+        return failures
+
+    def _verify_rows(self) -> List[VerifyFailure]:
+        failures: List[VerifyFailure] = []
+        p = self.p
+
+        # 1. CellNotAssigned (dev.rs:744-784)
+        failures.extend(self._check_cells_assigned())
 
         # 2. Gate constraints at every row (poison semantics)
         for gate_idx, gate in enumerate(self.cs.gates):
@@ -377,22 +541,7 @@ class MockProver:
                     )
 
         # 4. Permutation cycle value equality
-        cols = self.cs.permutation.columns
-        for i, column in enumerate(cols):
-            for row in range(self.n):
-                ci, ri = self.permutation.mapping[i][row]
-                if (i, row) == (ci, ri):
-                    continue
-                a = self._perm_value(column, row)
-                b = self._perm_value(cols[ci], ri)
-                if a != b:
-                    failures.append(
-                        VerifyFailure(
-                            "permutation",
-                            f"copy constraint {column} row {row} != {cols[ci]} row {ri}"
-                            f" ({a} vs {b})",
-                        )
-                    )
+        failures.extend(self._check_permutation())
         return failures
 
     def _perm_value(self, column: Column, row: int):

@@ -93,9 +93,12 @@ class MerkleCircuit(Circuit):
 
 
 def test_merkle_path_mock():
+    # node values are field elements (non-canonical 255-bit encodings are
+    # deliberately not constrained, merkle/chip.rs:51-53; the host oracle
+    # must see the same reduced values the circuit sees)
     rng = random.Random(21)
-    leaf = rng.randrange(1 << 255)
-    path = [rng.randrange(1 << 255) for _ in range(DEPTH)]
+    leaf = rng.randrange(P)
+    path = [rng.randrange(P) for _ in range(DEPTH)]
     pos = rng.randrange(1 << DEPTH)
     root = _host_root(leaf, pos, path)
     MockProver.run(
