@@ -66,7 +66,11 @@ class FieldElement:
         cls.DELTA = pow(cls.GENERATOR, 1 << cls.S, p)
         cls.TWO_INV = pow(2, p - 2, p)
         if (p - 1) % 3 == 0:
-            cls.ZETA = pow(cls.GENERATOR, (p - 1) // 3, p)
+            # halo2curves picks g^(2(p-1)/3), not g^((p-1)/3): validated by
+            # the plonk_api.rs pinned VK's lookup-table commitment (the
+            # table contains 2834758237 * ZETA). Consensus-critical: ZETA is
+            # the extended-domain coset generator (poly/domain.py).
+            cls.ZETA = pow(cls.GENERATOR, 2 * (p - 1) // 3, p)
         cls.NUM_BITS = p.bit_length()
         # Tonelli-Shanks precomputation
         cls._TS_T = t  # odd part of p-1

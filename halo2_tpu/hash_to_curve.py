@@ -40,7 +40,7 @@ import hashlib
 from typing import Callable, Optional, Tuple, Type
 
 from .curves import Curve, Point
-from .fields import Fp
+from .fields import Fp, Fq
 
 
 def _expand_message_xmd_blake2b(msg: bytes, dst: bytes, len_in_bytes: int) -> bytes:
@@ -107,7 +107,22 @@ _PALLAS_ISO = IsoParams(
     w=0x39BBBC7EE710C1DA4671B8B68D71C4C56DE6BFB5F6BDE8ADE49E1158560091C3,
 )
 
-_ISO_BY_CURVE_ID = {"pallas": _PALLAS_ISO}
+# pasta_curves IsoEq: same canonical construction over Vesta; the composite
+# map is conjugate-independent (all three (a_iso, x0, w) factorizations
+# agree), validated against the reference plonk_api.rs pinned VK whose
+# fixed_commitments[0] is exactly [1]W = hash("Halo2-Parameters")([1]) on
+# Vesta (the `sf` fixed column is never assigned, so its commitment is the
+# default-blind W point).
+_VESTA_ISO = IsoParams(
+    field=Fq,
+    a_iso=0x267F9B2EE592271A81639C4D96F787739673928C7D01B212C515AD7242EAA6B1,
+    b_iso=1265,
+    z=-13,
+    x0=0x1AE90DBD54BF6D1575D5C33AD251D4A6BF4C98BD6FEF5204EA8F4DD1286F2E8C,
+    w=0x2AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAC18465FD5BB87093B2D9F21600000001,
+)
+
+_ISO_BY_CURVE_ID = {"pallas": _PALLAS_ISO, "vesta": _VESTA_ISO}
 
 
 def _sswu_iso(iso: IsoParams, u: int) -> Tuple[int, int]:

@@ -59,42 +59,22 @@ class VerifyingKey:
         self.transcript_repr = self._compute_transcript_repr()
 
     def _compute_transcript_repr(self) -> int:
-        """Scalar binding the VK (reference plonk.rs:280-315).
-
-        The reference hashes the Rust Debug string of the pinned VK with
-        Blake2b(person=b"Halo2-Verify-Key"). We hash a deterministic pinned
-        representation with the same construction; byte-parity with the Rust
-        Debug format is tracked parity work (docs/PARITY.md).
-        """
+        """Scalar binding the VK (reference plonk.rs:280-315): Blake2b-64
+        with personalization "Halo2-Verify-Key" over the length-prefixed
+        compact Rust-Debug string of the pinned VK — reproduced
+        byte-for-byte by `plonk.pinned` (validated against the pinned VK
+        literal in the reference's tests/plonk_api.rs)."""
         s = self.pinned_repr()
         h = hashlib.blake2b(digest_size=64, person=b"Halo2-Verify-Key")
         h.update(len(s).to_bytes(8, "little"))
         h.update(s.encode())
         return self.curve.SCALAR.from_uniform_bytes(h.digest()).v
 
-    def pinned_repr(self) -> str:
-        parts = [
-            f"base=0x{self.curve.BASE.MODULUS:x}",
-            f"scalar=0x{self.curve.SCALAR.MODULUS:x}",
-            f"k={self.domain.k}",
-            f"extended_k={self.domain.extended_k}",
-            f"omega=0x{self.domain.omega:x}",
-            "fixed=" + ",".join(c.to_bytes().hex() for c in self.fixed_commitments),
-            "perm=" + ",".join(c.to_bytes().hex() for c in self.permutation.commitments),
-            "gates=" + ";".join(p.identifier() for g in self.cs.gates for p in g.polys),
-            "adv_q=" + ",".join(f"{c.index}:{r.i}" for c, r in self.cs.advice_queries),
-            "fix_q=" + ",".join(f"{c.index}:{r.i}" for c, r in self.cs.fixed_queries),
-            "inst_q=" + ",".join(f"{c.index}:{r.i}" for c, r in self.cs.instance_queries),
-            "perm_cols=" + ",".join(f"{c.kind}{c.index}" for c in self.cs.permutation.columns),
-            "lookups="
-            + ";".join(
-                ",".join(e.identifier() for e in lk.input_expressions)
-                + "|"
-                + ",".join(e.identifier() for e in lk.table_expressions)
-                for lk in self.cs.lookups
-            ),
-        ]
-        return "\n".join(parts)
+    def pinned_repr(self, pretty: bool = False) -> str:
+        """format!("{:?}", vk.pinned()) — or "{:#?}" when pretty=True."""
+        from .pinned import pinned_debug_string
+
+        return pinned_debug_string(self, pretty)
 
     def hash_into(self, transcript):
         transcript.common_scalar(self.curve.SCALAR(self.transcript_repr))
