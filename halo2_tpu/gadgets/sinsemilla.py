@@ -150,6 +150,34 @@ class SinsemillaChip:
         return acc
 
 
+class CommitDomainGadget:
+    """In-circuit SinsemillaCommit / SinsemillaShortCommit
+    (sinsemilla.rs CommitDomain gadget, :346-380):
+    commit(msg, r) = hash_to_point(msg) + [r]R with R a fixed base."""
+
+    def __init__(self, chip: SinsemillaChip, ecc_gadget_chip, domain):
+        """`domain`: a sinsemilla_primitives.CommitDomain; `ecc_gadget_chip`:
+        an ecc_api.EccGadgetChip providing mul_fixed + complete add."""
+        from .ecc_fixed import NUM_WINDOWS, FixedPointBase
+
+        self.chip = chip
+        self.ecc = ecc_gadget_chip
+        self.domain = domain
+        self.hash_gadget = SinsemillaHashGadget(chip, domain.M)
+        self.r_base = FixedPointBase(domain.R, NUM_WINDOWS)
+
+    def commit(self, layouter: Layouter, message_bits: Optional[List[bool]],
+               num_words: int, r: "Value"):
+        """Returns the commitment point (complete-add of hash and blind)."""
+        blind, _ = self.ecc.mul_fixed(layouter, r, self.r_base)
+        p = self.hash_gadget.hash_to_point(layouter, message_bits, num_words)
+        return self.ecc.add(layouter, p, blind)
+
+    def short_commit(self, layouter: Layouter, message_bits: Optional[List[bool]],
+                     num_words: int, r: "Value") -> AssignedCell:
+        return self.commit(layouter, message_bits, num_words, r).x
+
+
 class SinsemillaHashGadget:
     """Gadget-level driver binding a HashDomain (sinsemilla.rs HashDomain)."""
 
