@@ -123,40 +123,53 @@ class Evaluator:
         chunk_len = pk.vk.cs_degree - 2
         delta = F.DELTA
 
-        part_results: List[Polynomial] = []
-        factor = 1
-        for part_idx in range(m):
-            ext_cache: Dict[int, FVec] = {}
-            shift = domain.g_coset * factor % p
+        # ---- collect the (part-invariant) poly list in deterministic order
+        # so the whole per-part fold can be traced ONCE and jit-executed per
+        # part (the part only changes the coset factor / input arrays).
+        num_proofs = len(advice_polys)
+        poly_list: List[Polynomial] = []
+        poly_list.extend(pk.fixed_polys)
+        n_fixed = len(pk.fixed_polys)
+        poly_list.extend([pk.l0, pk.l_last, pk.l_active_row])
+        sigma_base = len(poly_list)
+        poly_list.extend(pk.permutation.polys)
+        layout = []  # per-proof offsets
+        for proof_idx in range(num_proofs):
+            entry = {"advice": len(poly_list)}
+            poly_list.extend(advice_polys[proof_idx])
+            entry["instance"] = len(poly_list)
+            poly_list.extend(instance_polys[proof_idx])
+            entry["z"] = len(poly_list)
+            poly_list.extend([s.poly for s in permutations[proof_idx].sets])
+            entry["lookups"] = len(poly_list)
+            for committed in lookups[proof_idx]:
+                poly_list.extend([
+                    committed.product_poly,
+                    committed.permuted_input_poly,
+                    committed.permuted_table_poly,
+                ])
+            layout.append(entry)
 
-            def ext(poly: Polynomial, _f=factor) -> FVec:
-                key = id(poly)
-                if key not in ext_cache:
-                    ext_cache[key] = domain.coeff_to_extended_part(
-                        poly.copy(), _f
-                    ).vec
-                return ext_cache[key]
+        def fold_fn(arrays, coset_x_vals):
+            """The full per-part constraint fold over raw jnp arrays; traced
+            once, executed per part (reference evaluation.rs:442-973)."""
+            vecs = [FVec(F, a) for a in arrays]
+            fixed_ext = vecs[:n_fixed]
+            l0, l_last, l_active = vecs[n_fixed:n_fixed + 3]
+            sigma_ext = vecs[sigma_base:sigma_base + len(pk.permutation.polys)]
+            coset_x = FVec(F, coset_x_vals)
 
             def rot(vec: FVec, r: int) -> FVec:
                 return vec.rotate(r)
-
-            fixed_ext = [ext(poly) for poly in pk.fixed_polys]
-            l0 = ext(pk.l0)
-            l_last = ext(pk.l_last)
-            l_active = ext(pk.l_active_row)
-            pw = powers(domain.omega, n, domain.ctx)
-            shift_c = domain.ctx.const(shift)
-            coset_x = FVec(F, domain.ctx.mul(pw, jnp.broadcast_to(shift_c, pw.shape)))
 
             def const_vec(c: int) -> FVec:
                 return FVec.fill(F, n, c)
 
             one = const_vec(1)
-            h: Optional[FVec] = None
+            h: List[Optional[FVec]] = [None]
 
             def fold(value: FVec):
-                nonlocal h
-                h = value if h is None else h * F(y) + value
+                h[0] = value if h[0] is None else h[0] * F(y) + value
 
             def eval_expr(expr: Expression, advice_ext, instance_ext) -> FVec:
                 return expr.evaluate(
@@ -174,26 +187,24 @@ class Evaluator:
                     scaled=lambda a, f: a * F(f),
                 )
 
-            for proof_idx in range(len(advice_polys)):
-                advice_ext = [ext(poly) for poly in advice_polys[proof_idx]]
-                instance_ext = [ext(poly) for poly in instance_polys[proof_idx]]
+            for proof_idx in range(num_proofs):
+                entry = layout[proof_idx]
+                advice_ext = vecs[entry["advice"]:entry["instance"]]
+                instance_ext = vecs[entry["instance"]:entry["z"]]
+                z_ext = vecs[entry["z"]:entry["lookups"]]
 
                 for gate in cs.gates:
                     for poly in gate.polys:
                         fold(eval_expr(poly, advice_ext, instance_ext))
 
-                perm = permutations[proof_idx]
-                sets = perm.sets
-                if sets:
-                    z_ext = [ext(s.poly) for s in sets]
+                if z_ext:
                     fold(l0 * (one - z_ext[0]))
                     zl = z_ext[-1]
                     fold(l_last * (zl * zl - zl))
-                    for i in range(1, len(sets)):
+                    for i in range(1, len(z_ext)):
                         fold(l0 * (z_ext[i] - rot(z_ext[i - 1], last_rotation)))
-                    sigma_ext = [ext(sp) for sp in pk.permutation.polys]
                     columns = cs.permutation.columns
-                    for chunk_index, set_i in enumerate(sets):
+                    for chunk_index in range(len(z_ext)):
                         cols = columns[chunk_index * chunk_len : (chunk_index + 1) * chunk_len]
                         sigmas = sigma_ext[chunk_index * chunk_len : (chunk_index + 1) * chunk_len]
                         left = rot(z_ext[chunk_index], 1)
@@ -209,11 +220,10 @@ class Evaluator:
                             cur = cur * delta % p
                         fold(l_active * (left - right))
 
-                for lk_idx, committed in enumerate(lookups[proof_idx]):
+                off = entry["lookups"]
+                for lk_idx in range(len(lookups[proof_idx])):
                     argument = cs.lookups[lk_idx]
-                    z = ext(committed.product_poly)
-                    a_prime = ext(committed.permuted_input_poly)
-                    s_prime = ext(committed.permuted_table_poly)
+                    z, a_prime, s_prime = vecs[off + 3 * lk_idx : off + 3 * lk_idx + 3]
                     fold(l0 * (one - z))
                     fold(l_last * (z * z - z))
 
@@ -231,8 +241,26 @@ class Evaluator:
                     fold(l0 * (a_prime - s_prime))
                     fold(l_active * (a_prime - s_prime) * (a_prime - rot(a_prime, -1)))
 
-            assert h is not None, "no constraints to evaluate"
-            part_results.append(Polynomial(LAGRANGE, h))
+            assert h[0] is not None, "no constraints to evaluate"
+            return h[0].vals
+
+        import jax
+
+        fold_jit = jax.jit(fold_fn)
+
+        pw = powers(domain.omega, n, domain.ctx)
+        part_results: List[Polynomial] = []
+        factor = 1
+        for part_idx in range(m):
+            arrays = [
+                domain.coeff_to_extended_part(poly.copy(), factor).vec.vals
+                for poly in poly_list
+            ]
+            shift = domain.g_coset * factor % p
+            shift_c = domain.ctx.const(shift)
+            coset_x_vals = domain.ctx.mul(pw, jnp.broadcast_to(shift_c, pw.shape))
+            h_vals = fold_jit(arrays, coset_x_vals)
+            part_results.append(Polynomial(LAGRANGE, FVec(F, h_vals)))
             factor = factor * domain.extended_omega % p
 
         return domain.lagrange_vec_to_extended(part_results)
