@@ -150,14 +150,27 @@ class Evaluator:
                 ])
             layout.append(entry)
 
-        def fold_fn(arrays, coset_x_vals):
+        n_sigma = len(pk.permutation.polys)
+        num_lookups = tuple(len(lk) for lk in lookups)
+        num_sets = tuple(len(pm.sets) for pm in permutations)
+        num_ch = len(challenges)
+
+        def fold_fn(arrays, coset_x_vals, scal):
             """The full per-part constraint fold over raw jnp arrays; traced
-            once, executed per part (reference evaluation.rs:442-973)."""
+            once per proving-key structure (reference evaluation.rs:442-973).
+            Fiat-Shamir scalars arrive as traced Montgomery limb arrays so
+            the compiled program is reused across proofs."""
             vecs = [FVec(F, a) for a in arrays]
             fixed_ext = vecs[:n_fixed]
             l0, l_last, l_active = vecs[n_fixed:n_fixed + 3]
-            sigma_ext = vecs[sigma_base:sigma_base + len(pk.permutation.polys)]
+            sigma_ext = vecs[sigma_base:sigma_base + n_sigma]
             coset_x = FVec(F, coset_x_vals)
+            # (NLIMBS,)-shaped scalars broadcast against (n, NLIMBS) columns
+            y_s = FVec(F, scal["y"])
+            beta_s = FVec(F, scal["beta"])
+            gamma_s = FVec(F, scal["gamma"])
+            theta_s = FVec(F, scal["theta"])
+            ch_s = [FVec(F, c) for c in scal["ch"]]
 
             def rot(vec: FVec, r: int) -> FVec:
                 return vec.rotate(r)
@@ -169,7 +182,7 @@ class Evaluator:
             h: List[Optional[FVec]] = [None]
 
             def fold(value: FVec):
-                h[0] = value if h[0] is None else h[0] * F(y) + value
+                h[0] = value if h[0] is None else h[0] * y_s + value
 
             def eval_expr(expr: Expression, advice_ext, instance_ext) -> FVec:
                 return expr.evaluate(
@@ -180,7 +193,7 @@ class Evaluator:
                     fixed=lambda q: rot(fixed_ext[q.column_index], q.rotation.i),
                     advice=lambda q: rot(advice_ext[q.column_index], q.rotation.i),
                     instance=lambda q: rot(instance_ext[q.column_index], q.rotation.i),
-                    challenge=lambda c: const_vec(challenges[c.index]),
+                    challenge=lambda c: ch_s[c.index],
                     negated=lambda a: -a,
                     sum_=lambda a, b: a + b,
                     product=lambda a, b: a * b,
@@ -210,18 +223,17 @@ class Evaluator:
                         left = rot(z_ext[chunk_index], 1)
                         for col, sigma in zip(cols, sigmas):
                             cv = self._column_part(col, fixed_ext, advice_ext, instance_ext)
-                            left = left * (cv + sigma * F(beta) + F(gamma))
+                            left = left * (cv + sigma * beta_s + gamma_s)
                         right = z_ext[chunk_index]
-                        delta_pow = pow(delta, chunk_index * chunk_len, p)
-                        cur = beta * delta_pow % p
-                        for col in cols:
+                        for j, col in enumerate(cols):
+                            # beta * delta^(chunk*len + j), delta power static
+                            cur_s = beta_s * F(pow(delta, chunk_index * chunk_len + j, p))
                             cv = self._column_part(col, fixed_ext, advice_ext, instance_ext)
-                            right = right * (cv + coset_x * F(cur) + F(gamma))
-                            cur = cur * delta % p
+                            right = right * (cv + coset_x * cur_s + gamma_s)
                         fold(l_active * (left - right))
 
                 off = entry["lookups"]
-                for lk_idx in range(len(lookups[proof_idx])):
+                for lk_idx in range(num_lookups[proof_idx]):
                     argument = cs.lookups[lk_idx]
                     z, a_prime, s_prime = vecs[off + 3 * lk_idx : off + 3 * lk_idx + 3]
                     fold(l0 * (one - z))
@@ -230,13 +242,13 @@ class Evaluator:
                     def compress(expressions):
                         acc = const_vec(0)
                         for e in expressions:
-                            acc = acc * F(theta) + eval_expr(e, advice_ext, instance_ext)
+                            acc = acc * theta_s + eval_expr(e, advice_ext, instance_ext)
                         return acc
 
                     inp = compress(argument.input_expressions)
                     tab = compress(argument.table_expressions)
-                    left = rot(z, 1) * (a_prime + F(beta)) * (s_prime + F(gamma))
-                    right = z * (inp + F(beta)) * (tab + F(gamma))
+                    left = rot(z, 1) * (a_prime + beta_s) * (s_prime + gamma_s)
+                    right = z * (inp + beta_s) * (tab + gamma_s)
                     fold(l_active * (left - right))
                     fold(l0 * (a_prime - s_prime))
                     fold(l_active * (a_prime - s_prime) * (a_prime - rot(a_prime, -1)))
@@ -246,9 +258,25 @@ class Evaluator:
 
         import jax
 
-        fold_jit = jax.jit(fold_fn)
+        # the traced structure depends only on the pk + proof shape: cache
+        # the compiled fold ON THE PK (the prover constructs a fresh
+        # Evaluator per proof) so later proofs skip tracing/compilation
+        cache_key = (num_proofs, num_lookups, num_sets, num_ch, n)
+        cache = pk.__dict__.setdefault("_evalh_fold_cache", {})
+        if cache_key not in cache:
+            cache[cache_key] = jax.jit(fold_fn)
+        fold_jit = cache[cache_key]
 
-        pw = powers(domain.omega, n, domain.ctx)
+        ctx = domain.ctx
+        scal = {
+            "y": ctx.const(y),
+            "beta": ctx.const(beta),
+            "gamma": ctx.const(gamma),
+            "theta": ctx.const(theta),
+            "ch": [ctx.const(c) for c in challenges],
+        }
+
+        pw = powers(domain.omega, n, ctx)
         part_results: List[Polynomial] = []
         factor = 1
         for part_idx in range(m):
@@ -257,9 +285,9 @@ class Evaluator:
                 for poly in poly_list
             ]
             shift = domain.g_coset * factor % p
-            shift_c = domain.ctx.const(shift)
-            coset_x_vals = domain.ctx.mul(pw, jnp.broadcast_to(shift_c, pw.shape))
-            h_vals = fold_jit(arrays, coset_x_vals)
+            shift_c = ctx.const(shift)
+            coset_x_vals = ctx.mul(pw, jnp.broadcast_to(shift_c, pw.shape))
+            h_vals = fold_jit(arrays, coset_x_vals, scal)
             part_results.append(Polynomial(LAGRANGE, FVec(F, h_vals)))
             factor = factor * domain.extended_omega % p
 
