@@ -555,6 +555,47 @@ class MockProver:
             return ("poison", row)
         return v[1]
 
+    def verify_par(self) -> List[VerifyFailure]:
+        """Reference verify_par (dev.rs): the vectorized path is our
+        data-parallel analogue of the rayon row-parallel verify."""
+        return self.verify(vectorized=True)
+
+    def verify_at_rows(self, gate_rows, lookup_rows) -> List[VerifyFailure]:
+        """Reference verify_at_rows(_par) (dev.rs:1180+): restrict gate and
+        lookup checking to the given row iterables."""
+        gate_rows = set(gate_rows)
+        lookup_rows = set(lookup_rows)
+        out = []
+        for f in self.verify(vectorized=False):
+            if f.kind in ("constraint", "constraint_poisoned"):
+                row = None
+                if f.location is not None:
+                    row = (
+                        f.location.row
+                        if f.location.row is not None
+                        else (f.location.offset or 0)
+                    )
+                # fall back to parsing the detail when no location row
+                if "at row " in f.detail:
+                    row = int(f.detail.rsplit("at row ", 1)[1].split()[0])
+                if row is not None and row not in gate_rows:
+                    continue
+            elif f.kind == "lookup":
+                if "at row " in f.detail:
+                    row = int(f.detail.rsplit("at row ", 1)[1].split()[0])
+                    if row not in lookup_rows:
+                        continue
+            out.append(f)
+        return out
+
+    verify_at_rows_par = verify_at_rows
+
+    def assert_satisfied_par(self):
+        failures = self.verify_par()
+        if failures:
+            msg = "\n".join(str(f) for f in failures[:20])
+            raise AssertionError(f"circuit is not satisfied:\n{msg}")
+
     def assert_satisfied(self):
         failures = self.verify()
         if failures:
