@@ -10,9 +10,14 @@ import sys
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = flags + " --xla_force_host_platform_device_count=8"
+# XLA:CPU segfaults inside backend_compile_and_load when compiling large
+# limb-arithmetic modules late in a long suite run; the parallel codegen
+# splitter is implicated (concurrent LLVM contexts under a 1-CPU cgroup).
+# Serializing codegen keeps long compile-heavy processes stable.
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    flags = flags + " --xla_cpu_parallel_codegen_split_count=1"
+os.environ["XLA_FLAGS"] = flags.strip()
 
 # Force CPU even though the environment routes JAX to the tunneled single
 # TPU chip ('axon' platform overrides the JAX_PLATFORMS env var; only the
