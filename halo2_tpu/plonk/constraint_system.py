@@ -326,6 +326,7 @@ class ConstraintSystem:
             replacements[a["selector"]] = a["expression"]
             selector_map[a["selector"]] = new_columns[a["combination_index"]]
         self.selector_map = selector_map
+        self.selector_replacements = replacements
 
         def replace(expr: Expression, must_be_nonsimple: bool) -> Expression:
             return expr.evaluate(
