@@ -107,3 +107,25 @@ def test_ecc_bad_witness_fails():
 
     prover = MockProver.run(6, BadCircuit(None, None, None), [])
     assert prover.verify(), "expected failure for off-curve point"
+
+
+@pytest.mark.slow
+def test_ecc_var_base_mul_full_width():
+    """Full 255-bit variable-base mul (reference ecc/chip/mul.rs tests)."""
+    import random as _r
+
+    rng = _r.Random(23)
+    g = Pallas.generator()
+    base = g.mul(rng.randrange(2, 1 << 64))
+    s = rng.randrange(1, Pallas.SCALAR.MODULUS)
+
+    class FullMulCircuit(EccOpsCircuit):
+        def synthesize(self, config, layouter):
+            chip = EccChip(config)
+            val = lambda v: Value.unknown() if v is None else Value.known(v)
+            p = chip.witness_point(layouter, val(self.p))
+            m, _ = chip.mul(layouter, val(self.s), p, num_bits=255)
+            if self.p is not None:
+                assert m.point().force_value() == self.p.mul(self.s)
+
+    MockProver.run(12, FullMulCircuit(base, base, s), []).assert_satisfied()
