@@ -41,3 +41,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running circuit tests")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """XLA:CPU segfaults in backend_compile_and_load once ~100+ compiled
+    executables have accumulated in one process (three distinct crash
+    sites, RAM far from exhausted - allocator/compiler state corruption).
+    Dropping all jitted executables between modules keeps the per-process
+    compile population small. Costs recompiles for cross-module shared
+    kernels; correctness is unaffected."""
+    yield
+    import jax
+
+    jax.clear_caches()
