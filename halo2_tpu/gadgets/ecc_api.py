@@ -13,14 +13,12 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-from ..frontend import AssignedCell, Layouter, Value
+from ..frontend import AssignedCell, Value
 from ..plonk.constraint_system import ConstraintSystem
 from .ecc import EccChip, EccConfig, EccPoint, NonIdentityEccPoint
 from .ecc_fixed import (
     NUM_WINDOWS,
     NUM_WINDOWS_SHORT,
-    EccScalarFixed,
-    EccScalarFixedShort,
     FixedPointBase,
     MulFixedBaseField,
     MulFixedConfig,

@@ -29,9 +29,9 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-from typing import List, Optional, Sequence, Tuple, Type
+from typing import List, Optional, Sequence, Tuple
 
-from ..curves import Curve, Pallas, Point
+from ..curves import Pallas, Point
 from ..fields import Fp
 from ..frontend import AssignedCell, Layouter, Region, Value
 from ..plonk.constraint_system import ConstraintSystem

@@ -36,9 +36,7 @@ from typing import List, Optional, Sequence, Tuple
 from ..fields import Fp
 from ..frontend import AssignedCell, Layouter, Region, Value
 from ..plonk.constraint_system import ConstraintSystem
-from ..plonk.expression import Constant
 from ..poly import Rotation
-from .poseidon import _as_int
 
 P = Fp.MODULUS
 

@@ -32,7 +32,7 @@ from ..plonk.expression import Constant
 from ..poly import Rotation
 from .poseidon import _as_int
 from .sinsemilla import SinsemillaChip, SinsemillaConfig
-from .sinsemilla_primitives import K, HashDomain, lebs2ip_k
+from .sinsemilla_primitives import K, HashDomain
 from .utilities import CondSwapChip, CondSwapConfig, LookupRangeCheckConfig, i2lebsp
 
 P = Fp.MODULUS
