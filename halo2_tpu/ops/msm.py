@@ -89,6 +89,18 @@ class MSMBases:
             self.pv = self.cc.encode_points(self.host_points)
         return self.pv
 
+    def host_tables(self):
+        """(n+1, L) numpy coordinate tables, row n = identity (for the
+        host-gathered Pallas MSM plan)."""
+        if getattr(self, "_host_tables", None) is None:
+            pv = self.cc.encode_points(self.host_points)
+            idv = self.cc.identity_vec((1,))
+            self._host_tables = tuple(
+                np.concatenate([np.asarray(a), np.asarray(b)])
+                for a, b in ((pv.x, idv.x), (pv.y, idv.y), (pv.z, idv.z))
+            )
+        return self._host_tables
+
 
 def _digits(scalars: Sequence[int], c: int, nwin: int) -> np.ndarray:
     """(n, nwin) unsigned base-2^c digits from little-endian scalar bytes."""
@@ -196,7 +208,12 @@ def msm_jax(
             bz.reshape(nwin * (1 << c), NLIMBS),
         )
     )
-    # host tail: per window sum_d d * bucket_d (suffix sums), then Horner
+    return fold_window_buckets(window_buckets, curve, nwin, c)
+
+
+def fold_window_buckets(window_buckets, curve: Type[Curve], nwin: int, c: int) -> Point:
+    """Host tail: per window sum_d d * bucket_d (suffix sums), then Horner
+    over windows (reference arithmetic.rs:119-127)."""
     p = curve.p()
     B = 1 << c
     acc = JAC_IDENTITY
