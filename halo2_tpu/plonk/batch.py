@@ -11,7 +11,8 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
-from ..transcript import Blake2bRead
+from ..transcript import Blake2bRead, TranscriptError
+from .error import Error as PlonkError
 from .verifier import verify_proof
 
 
@@ -35,7 +36,11 @@ class BatchVerifier:
             transcript = Blake2bRead(params.curve, proof)
             try:
                 guard = verify_proof(params, vk, instances, transcript, strategy="batch")
-            except Exception:
+            except (TranscriptError, PlonkError):
+                # malformed/invalid proof bytes -> batch is invalid
+                # (batch.rs:107-118 logs and returns false); framework bugs
+                # (TypeError, ValueError, ...) propagate instead of being
+                # silently reported as "proof invalid".
                 return False
             msm = guard.use_challenges()
             acc.scale(F.random(rng).v)

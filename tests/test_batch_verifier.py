@@ -39,5 +39,27 @@ def test_batch_verifier():
     bad.add_proof(inst, proof)
     bad_inst = [[[(inst[0][0][0] + 1) % Fp.MODULUS]]]
     inst2, proof2 = _proof(params, pk, 4, 5, b"\x08" * 32)
-    bad.add_proof(bad_inst[0], proof2)
+    bad.add_proof(bad_inst, proof2)
     assert bad.finalize(params, vk, ChaCha20Rng(b"\x56" * 32)) is False
+
+
+def test_batch_verifier_corrupted_proof_bytes():
+    """Corrupted proof bytes -> False, not an exception
+    (reference batch.rs:107-118 treats transcript errors as invalid)."""
+    params = ParamsIPA.cached(Vesta, 4)
+    vk = keygen_vk(params, MulCircuit(7))
+    pk = keygen_pk(params, vk, MulCircuit(7))
+
+    inst, proof = _proof(params, pk, 2, 3, b"\x07" * 32)
+
+    # flip a byte in the middle of the proof stream
+    corrupted = bytearray(proof)
+    corrupted[len(corrupted) // 2] ^= 0xFF
+    batch = BatchVerifier()
+    batch.add_proof(inst, bytes(corrupted))
+    assert batch.finalize(params, vk, ChaCha20Rng(b"\x57" * 32)) is False
+
+    # truncated proof stream
+    batch2 = BatchVerifier()
+    batch2.add_proof(inst, proof[: len(proof) // 2])
+    assert batch2.finalize(params, vk, ChaCha20Rng(b"\x58" * 32)) is False
