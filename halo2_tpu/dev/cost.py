@@ -15,7 +15,7 @@ from typing import Type
 
 from ..frontend import Value
 from ..frontend.floor_planner import synthesize_circuit
-from ..plonk.constraint_system import ConstraintSystem
+from ..plonk.constraint_system import ConstraintSystem, configure_circuit
 from ..poly import Rotation
 
 
@@ -96,7 +96,7 @@ class CircuitCost:
     @classmethod
     def measure(cls, k: int, circuit) -> "CircuitCost":
         cs = ConstraintSystem()
-        config = type(circuit).configure(cs)
+        config = configure_circuit(circuit, cs)
         assembly = _SelectorAssembly(k, cs.num_selectors)
         synthesize_circuit(assembly, circuit, config, cs.constants)
         cs.compress_selectors(assembly.selectors)

@@ -11,7 +11,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Type
 
-from ..plonk.constraint_system import ConstraintSystem
+from ..plonk.constraint_system import ConstraintSystem, configure_circuit
 
 
 @dataclass
@@ -34,7 +34,7 @@ class CircuitGates:
     @classmethod
     def collect(cls, circuit_cls) -> "CircuitGates":
         cs = ConstraintSystem()
-        circuit_cls.configure(cs)
+        configure_circuit(circuit_cls, cs)
 
         counts = {"neg": 0, "add": 0, "mul": 0}
 

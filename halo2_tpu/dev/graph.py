@@ -14,7 +14,7 @@ from typing import List, Optional, Tuple
 
 from ..frontend import Value
 from ..frontend.floor_planner import synthesize_circuit
-from ..plonk.constraint_system import ConstraintSystem
+from ..plonk.constraint_system import ConstraintSystem, configure_circuit
 from ..plonk.expression import ADVICE, FIXED, INSTANCE
 
 
@@ -78,7 +78,7 @@ class _GraphBackend:
 
 def _collect(circuit) -> Tuple[ConstraintSystem, _GraphBackend]:
     cs = ConstraintSystem()
-    config = type(circuit).configure(cs)
+    config = configure_circuit(circuit, cs)
     backend = _GraphBackend()
     synthesize_circuit(backend, circuit.without_witnesses(), config, cs.constants)
     return cs, backend

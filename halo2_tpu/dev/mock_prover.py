@@ -17,7 +17,7 @@ from ..fields import FieldElement
 from ..frontend import Value
 from ..frontend.floor_planner import synthesize_circuit
 from ..plonk.assigned import Assigned
-from ..plonk.constraint_system import ConstraintSystem, Gate
+from ..plonk.constraint_system import ConstraintSystem, Gate, configure_circuit
 from ..plonk.error import InstanceTooLarge, NotEnoughRowsAvailable, SynthesisError
 from ..plonk.expression import ADVICE, FIXED, INSTANCE, Column, Selector
 from ..plonk import permutation as permutation_mod
@@ -125,7 +125,7 @@ class MockProver:
         field_cls = field_cls or Fp
         n = 1 << k
         cs = ConstraintSystem()
-        config = type(circuit).configure(cs)
+        config = configure_circuit(circuit, cs)
         if n < cs.minimum_rows():
             raise NotEnoughRowsAvailable(k)
         if len(instances) != cs.num_instance_columns:

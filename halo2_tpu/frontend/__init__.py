@@ -326,6 +326,12 @@ class Circuit:
     def without_witnesses(self) -> "Circuit":
         raise NotImplementedError
 
+    def params(self):
+        """circuit-params feature (circuit.rs:758-766): instance-level
+        configuration value passed to `configure_with_params`. Only
+        consulted when the subclass defines `configure_with_params`."""
+        return None
+
     @classmethod
     def configure(cls, meta) -> Any:
         raise NotImplementedError

@@ -351,6 +351,21 @@ class ConstraintSystem:
         return polys
 
 
+def configure_circuit(circuit, cs: "ConstraintSystem"):
+    """Configure `cs` from a circuit instance or class, honouring the
+    `circuit-params` feature (reference plonk/circuit.rs:752-793): a circuit
+    class defining `configure_with_params(cls, meta, params)` is configured
+    with the instance's `params()` value (default None); otherwise the plain
+    `configure(cls, meta)` classmethod runs."""
+    cls = circuit if isinstance(circuit, type) else type(circuit)
+    if hasattr(cls, "configure_with_params"):
+        params = None
+        if not isinstance(circuit, type) and hasattr(circuit, "params"):
+            params = circuit.params()
+        return cls.configure_with_params(cs, params)
+    return cls.configure(cs)
+
+
 def _check_nonsimple(s: Selector, must_be_nonsimple: bool):
     if must_be_nonsimple:
         assert not s.simple, "simple selectors may not appear in lookups"

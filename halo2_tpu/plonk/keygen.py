@@ -23,7 +23,7 @@ from ..poly.commitment import Blind
 from ..poly.domain import EvaluationDomain
 from . import permutation as permutation_mod
 from .assigned import Assigned, batch_invert_assigned
-from .constraint_system import ConstraintSystem
+from .constraint_system import ConstraintSystem, configure_circuit
 from .error import NotEnoughRowsAvailable
 from .expression import Column, Selector
 
@@ -266,9 +266,11 @@ class Assembly:
         pass
 
 
-def create_domain(field: Type[FieldElement], k: int, circuit_cls):
+def create_domain(field: Type[FieldElement], k: int, circuit):
+    """`circuit` may be an instance (circuit-params honoured) or a class
+    (reference keygen.rs:27-50 + circuit-params plonk/circuit.rs:752-793)."""
     cs = ConstraintSystem()
-    config = circuit_cls.configure(cs)
+    config = configure_circuit(circuit, cs)
     degree = cs.degree()
     domain = EvaluationDomain(field, degree, k)
     return domain, cs, config
@@ -279,7 +281,7 @@ def keygen_vk(params, circuit) -> VerifyingKey:
     field = curve.SCALAR
     k = params.k
     n = params.n
-    domain, cs, config = create_domain(field, k, type(circuit))
+    domain, cs, config = create_domain(field, k, circuit)
     if n < cs.minimum_rows():
         raise NotEnoughRowsAvailable(k)
 
@@ -310,7 +312,7 @@ def keygen_pk(params, vk: VerifyingKey, circuit) -> ProvingKey:
     k = params.k
     n = params.n
     cs0 = ConstraintSystem()
-    config = type(circuit).configure(cs0)
+    config = configure_circuit(circuit, cs0)
     if n < cs0.minimum_rows():
         raise NotEnoughRowsAvailable(k)
     domain = vk.domain

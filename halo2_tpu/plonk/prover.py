@@ -15,7 +15,7 @@ from ..poly import COEFF, LAGRANGE, FVec, Polynomial, Rotation, eval_polynomial_
 from ..poly.commitment import Blind, ProverQuery
 from . import lookup_prover, permutation_prover, vanishing
 from .assigned import Assigned, batch_invert_assigned
-from .constraint_system import ConstraintSystem
+from .constraint_system import ConstraintSystem, configure_circuit
 from .error import InstanceTooLarge, InvalidInstances, NotEnoughRowsAvailable
 from .evaluation import Evaluator
 from .keygen import ProvingKey
@@ -152,7 +152,7 @@ def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[Li
     # ---- advice, phase by phase (prover.rs:300-426) ----
     stage = span("advice witness + commit"); stage.__enter__()
     config_cs = ConstraintSystem()
-    config = type(circuits[0]).configure(config_cs)
+    config = configure_circuit(circuits[0], config_cs)
 
     advice_values_all: List[List[Optional[List[int]]]] = [
         [None] * cs.num_advice_columns for _ in circuits
