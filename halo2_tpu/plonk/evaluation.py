@@ -7,10 +7,10 @@ powers of y in exactly the verifier's expression order
 (`plonk/verifier.rs:245-327`, `permutation/verifier.rs:115-196`,
 `lookup/verifier.rs:80-167`).
 
-This v1 engine materializes full extended-domain vectors (the reference's
-memory-optimized *part-wise* walk - evaluation.rs:394-975 - is the planned
-sharding axis; the domain layer already provides `coeff_to_extended_part` /
-`lagrange_vecs_to_extended` for it).
+The default engine is the fork's memory-optimized *part-wise* walk with
+constraint clusters and `need_to_compute` part skipping
+(evaluation.rs:394-975); `EVAL_H=full` selects the plain full
+extended-domain fold (the equivalence oracle).
 """
 
 from __future__ import annotations
@@ -57,6 +57,33 @@ def evaluate_expr_rows(
     )
 
 
+def _cluster_idx(degree: int, max_cluster_idx: int) -> int:
+    """ceil(log2(degree)) clamped (reference evaluation.rs:977-988)."""
+    c = (degree - 1).bit_length() if degree > 1 else 0
+    return min(c, max_cluster_idx)
+
+
+def _expr_columns(exprs):
+    """(fixed, advice, instance) column-index sets used by expressions."""
+    fixed: set = set()
+    advice: set = set()
+    instance: set = set()
+    for e in exprs:
+        e.evaluate(
+            constant=lambda c: None,
+            selector=lambda s: None,
+            fixed=lambda q: fixed.add(q.column_index),
+            advice=lambda q: advice.add(q.column_index),
+            instance=lambda q: instance.add(q.column_index),
+            challenge=lambda c: None,
+            negated=lambda a: None,
+            sum_=lambda a, b: None,
+            product=lambda a, b: None,
+            scaled=lambda a, f: None,
+        )
+    return fixed, advice, instance
+
+
 class Evaluator:
     """Extended-domain constraint evaluator bound to a proving key."""
 
@@ -78,58 +105,69 @@ class Evaluator:
         permutations: List,
     ) -> Polynomial:
         """Dispatch: part-wise walk (the fork's memory-optimized engine,
-        default) or the full extended-domain fold (EVAL_H=full)."""
+        single-chip default), the mesh-sharded SPMD fold (automatic when a
+        `parallel.context` mesh is active), or the plain full
+        extended-domain fold (EVAL_H=full, the equivalence oracle)."""
         import os
 
-        if os.environ.get("EVAL_H", "parts") == "full":
-            return self.evaluate_h_full(
-                advice_polys, instance_polys, challenges, y, beta, gamma,
-                theta, lookups, permutations,
-            )
-        return self.evaluate_h_parts(
-            advice_polys, instance_polys, challenges, y, beta, gamma, theta,
-            lookups, permutations,
-        )
+        from ..parallel.context import active_mesh
 
-    def evaluate_h_parts(
+        mode = os.environ.get("EVAL_H")
+        args = (advice_polys, instance_polys, challenges, y, beta, gamma,
+                theta, lookups, permutations)
+        if mode == "full":
+            return self.evaluate_h_full(*args)
+        if mode == "parts":
+            return self.evaluate_h_parts(*args)
+        mc = active_mesh()
+        if mode == "mesh" or (
+            mode is None
+            and mc is not None
+            and mc.can_shard_ntt(self.domain.extended_k)
+        ):
+            return self.evaluate_h_mesh(*args)
+        return self.evaluate_h_parts(*args)
+
+    def _fold_machinery(
         self,
         advice_polys: List[List[Polynomial]],
         instance_polys: List[List[Polynomial]],
         challenges: List[int],
-        y: int,
-        beta: int,
-        gamma: int,
-        theta: int,
         lookups: List[List],
         permutations: List,
-    ) -> Polynomial:
-        """Part-wise quotient evaluation (reference plonk/evaluation.rs
-        :394-975 + domain.rs:314-495): walk the extended domain in
-        extended_n/n parts, materializing only O(n) coset evaluations per
-        column per part. Part i holds the evaluations at
-        zeta * ext_omega^i * omega^t, so base-row rotations act within a
-        part as plain rolls, and the per-part coset abscissa is
-        (zeta * ext_omega^i) * omega^t."""
+        n_rows: int,
+        rot_scale: int,
+    ):
+        """Shared constraint-fold builder for the part-wise single-chip
+        engine and the mesh-sharded full-extended engine.
+
+        Builds (a) the deterministic poly layout, (b) the constraint
+        schedule in the verifier's global fold order (verifier.rs:245-327)
+        with per-item cluster = ceil(log2(degree)) and column dependencies,
+        and (c) `fold_for(c_lo) -> (jitted fold, needed poly indices)` where
+        the fold evaluates every item in clusters >= c_lo over length-
+        `n_rows` row vectors, rotations scaled by `rot_scale` (1 for n-sized
+        parts, extended_n/n for full extended vectors). Each item is scaled
+        by the explicit y-power of its fold position, so any partition of
+        the items sums to exactly the verifier's y-Horner fold."""
         pk = self.pk
         domain = self.domain
         F = self.field
         p = F.MODULUS
         cs = pk.vk.cs
-        n = domain.n
-        m = domain.extended_n >> domain.k
+        L = domain.extended_k - domain.k  # max cluster idx; num_clusters = L+1
 
         blinding = cs.blinding_factors()
         last_rotation = -(blinding + 1)
         chunk_len = pk.vk.cs_degree - 2
         delta = F.DELTA
 
-        # ---- collect the (part-invariant) poly list in deterministic order
-        # so the whole per-part fold can be traced ONCE and jit-executed per
-        # part (the part only changes the coset factor / input arrays).
+        # ---- poly list in deterministic order (part-invariant layout) ----
         num_proofs = len(advice_polys)
         poly_list: List[Polynomial] = []
         poly_list.extend(pk.fixed_polys)
         n_fixed = len(pk.fixed_polys)
+        IDX_L0, IDX_LLAST, IDX_LACT = n_fixed, n_fixed + 1, n_fixed + 2
         poly_list.extend([pk.l0, pk.l_last, pk.l_active_row])
         sigma_base = len(poly_list)
         poly_list.extend(pk.permutation.polys)
@@ -155,120 +193,230 @@ class Evaluator:
         num_sets = tuple(len(pm.sets) for pm in permutations)
         num_ch = len(challenges)
 
-        def fold_fn(arrays, coset_x_vals, scal):
-            """The full per-part constraint fold over raw jnp arrays; traced
-            once per proving-key structure (reference evaluation.rs:442-973).
-            Fiat-Shamir scalars arrive as traced Montgomery limb arrays so
-            the compiled program is reused across proofs."""
-            vecs = [FVec(F, a) for a in arrays]
-            fixed_ext = vecs[:n_fixed]
-            l0, l_last, l_active = vecs[n_fixed:n_fixed + 3]
-            sigma_ext = vecs[sigma_base:sigma_base + n_sigma]
-            coset_x = FVec(F, coset_x_vals)
-            # (NLIMBS,)-shaped scalars broadcast against (n, NLIMBS) columns
-            y_s = FVec(F, scal["y"])
-            beta_s = FVec(F, scal["beta"])
-            gamma_s = FVec(F, scal["gamma"])
-            theta_s = FVec(F, scal["theta"])
-            ch_s = [FVec(F, c) for c in scal["ch"]]
+        def col_poly_idx(column, entry) -> int:
+            if column.kind == FIXED:
+                return column.index
+            if column.kind == ADVICE:
+                return entry["advice"] + column.index
+            return entry["instance"] + column.index
 
-            def rot(vec: FVec, r: int) -> FVec:
-                return vec.rotate(r)
+        # ---- constraint schedule: (kind, proof_idx, aux, cluster, deps) in
+        # the verifier's global fold order (verifier.rs:245-327). Fixed
+        # low-degree cluster slots (1 and 2, evaluation.rs:566-585) are
+        # clamped to L: cluster c only needs c >= ceil(log2(d-1)), and
+        # 2^L >= j-1 >= d-1 always, so the clamp stays exact even for
+        # domains with extended_k - k < 2 that the reference never hits ----
+        items: List[tuple] = []
+        for proof_idx in range(num_proofs):
+            entry = layout[proof_idx]
 
-            def const_vec(c: int) -> FVec:
-                return FVec.fill(F, n, c)
-
-            one = const_vec(1)
-            h: List[Optional[FVec]] = [None]
-
-            def fold(value: FVec):
-                h[0] = value if h[0] is None else h[0] * y_s + value
-
-            def eval_expr(expr: Expression, advice_ext, instance_ext) -> FVec:
-                return expr.evaluate(
-                    constant=lambda c: const_vec(c),
-                    selector=lambda s: (_ for _ in ()).throw(
-                        ValueError("virtual selector in evaluate_h")
-                    ),
-                    fixed=lambda q: rot(fixed_ext[q.column_index], q.rotation.i),
-                    advice=lambda q: rot(advice_ext[q.column_index], q.rotation.i),
-                    instance=lambda q: rot(instance_ext[q.column_index], q.rotation.i),
-                    challenge=lambda c: ch_s[c.index],
-                    negated=lambda a: -a,
-                    sum_=lambda a, b: a + b,
-                    product=lambda a, b: a * b,
-                    scaled=lambda a, f: a * F(f),
+            def expr_deps(exprs) -> frozenset:
+                ef, ea, ei = _expr_columns(exprs)
+                return frozenset(
+                    {i for i in ef}
+                    | {entry["advice"] + i for i in ea}
+                    | {entry["instance"] + i for i in ei}
                 )
 
-            for proof_idx in range(num_proofs):
-                entry = layout[proof_idx]
-                advice_ext = vecs[entry["advice"]:entry["instance"]]
-                instance_ext = vecs[entry["instance"]:entry["z"]]
-                z_ext = vecs[entry["z"]:entry["lookups"]]
+            for gate in cs.gates:
+                for poly in gate.polys:
+                    items.append((
+                        "gate", proof_idx, poly,
+                        _cluster_idx(poly.degree(), L), expr_deps([poly]),
+                    ))
+            nset = num_sets[proof_idx]
+            if nset:
+                z0 = entry["z"]
+                items.append(("perm_l0", proof_idx, None, min(1, L), frozenset({IDX_L0, z0})))
+                items.append((
+                    "perm_llast", proof_idx, None, min(2, L),
+                    frozenset({IDX_LLAST, z0 + nset - 1}),
+                ))
+                for i in range(1, nset):
+                    items.append((
+                        "perm_cont", proof_idx, i, min(1, L),
+                        frozenset({IDX_L0, z0 + i, z0 + i - 1}),
+                    ))
+                prod_cluster = _cluster_idx(2 + chunk_len, L)
+                columns = cs.permutation.columns
+                for chunk_index in range(nset):
+                    cols = columns[chunk_index * chunk_len:(chunk_index + 1) * chunk_len]
+                    deps = {IDX_LACT, z0 + chunk_index}
+                    deps.update(
+                        sigma_base + chunk_index * chunk_len + j for j in range(len(cols))
+                    )
+                    deps.update(col_poly_idx(c, entry) for c in cols)
+                    items.append((
+                        "perm_prod", proof_idx, chunk_index, prod_cluster, frozenset(deps),
+                    ))
+            for lk_idx in range(num_lookups[proof_idx]):
+                argument = cs.lookups[lk_idx]
+                zi = entry["lookups"] + 3 * lk_idx
+                ai, si = zi + 1, zi + 2
+                max_in = max((e.degree() for e in argument.input_expressions), default=0)
+                max_tab = max((e.degree() for e in argument.table_expressions), default=0)
+                prod_cluster = _cluster_idx(2 + max_in + max_tab, L)
+                prod_deps = frozenset(
+                    {IDX_LACT, zi, ai, si}
+                    | expr_deps(argument.input_expressions)
+                    | expr_deps(argument.table_expressions)
+                )
+                items.append(("lk_l0", proof_idx, lk_idx, min(1, L), frozenset({IDX_L0, zi})))
+                items.append(("lk_llast", proof_idx, lk_idx, min(2, L), frozenset({IDX_LLAST, zi})))
+                items.append(("lk_prod", proof_idx, lk_idx, prod_cluster, prod_deps))
+                items.append(("lk_l0_as", proof_idx, lk_idx, min(1, L), frozenset({IDX_L0, ai, si})))
+                items.append(("lk_as_prev", proof_idx, lk_idx, min(2, L), frozenset({IDX_LACT, ai, si})))
 
-                for gate in cs.gates:
-                    for poly in gate.polys:
-                        fold(eval_expr(poly, advice_ext, instance_ext))
+        N = len(items)
+        assert N > 0, "no constraints to evaluate"
 
-                if z_ext:
-                    fold(l0 * (one - z_ext[0]))
-                    zl = z_ext[-1]
-                    fold(l_last * (zl * zl - zl))
-                    for i in range(1, len(z_ext)):
-                        fold(l0 * (z_ext[i] - rot(z_ext[i - 1], last_rotation)))
-                    columns = cs.permutation.columns
-                    for chunk_index in range(len(z_ext)):
-                        cols = columns[chunk_index * chunk_len : (chunk_index + 1) * chunk_len]
-                        sigmas = sigma_ext[chunk_index * chunk_len : (chunk_index + 1) * chunk_len]
-                        left = rot(z_ext[chunk_index], 1)
-                        for col, sigma in zip(cols, sigmas):
-                            cv = self._column_part(col, fixed_ext, advice_ext, instance_ext)
-                            left = left * (cv + sigma * beta_s + gamma_s)
-                        right = z_ext[chunk_index]
+        def make_fold(c_lo: int):
+            """Traced fold over the clusters >= c_lo (the set a part with
+            2-adic valuation L - c_lo fires). Takes {poly_idx: (n, L) array}
+            for exactly the polys those clusters use; returns
+            {cluster: (n, L) array}."""
+            active = [
+                (i + 1, kind, proof_idx, aux, cluster)
+                for i, (kind, proof_idx, aux, cluster, _deps) in enumerate(items)
+                if cluster >= c_lo
+            ]
+            needed: set = set()
+            for i, (kind, proof_idx, aux, cluster, deps) in enumerate(items):
+                if cluster >= c_lo:
+                    needed |= deps
+            needed_idx = tuple(sorted(needed))
+            max_exp = max((N - gi for gi, *_ in active), default=0)
+
+            def fold_fn(arrays, coset_x_vals, scal):
+                vecs: Dict[int, FVec] = {i: FVec(F, arrays[i]) for i in arrays}
+                coset_x = FVec(F, coset_x_vals)
+                y_s = FVec(F, scal["y"])
+                beta_s = FVec(F, scal["beta"])
+                gamma_s = FVec(F, scal["gamma"])
+                theta_s = FVec(F, scal["theta"])
+                ch_s = [FVec(F, c) for c in scal["ch"]]
+
+                one_s = FVec(F, domain.ctx.const(1))  # (NLIMBS,) scalar 1
+                y_pows = [one_s]
+                for _ in range(max_exp):
+                    y_pows.append(y_pows[-1] * y_s)
+
+                def rot(vec: FVec, r: int) -> FVec:
+                    return vec.rotate(r * rot_scale)
+
+                def const_vec(c: int) -> FVec:
+                    return FVec.fill(F, n_rows, c)
+
+                one = const_vec(1)
+
+                def eval_expr(expr: Expression, entry) -> FVec:
+                    return expr.evaluate(
+                        constant=lambda c: const_vec(c),
+                        selector=lambda s: (_ for _ in ()).throw(
+                            ValueError("virtual selector in evaluate_h")
+                        ),
+                        fixed=lambda q: rot(vecs[q.column_index], q.rotation.i),
+                        advice=lambda q: rot(
+                            vecs[entry["advice"] + q.column_index], q.rotation.i
+                        ),
+                        instance=lambda q: rot(
+                            vecs[entry["instance"] + q.column_index], q.rotation.i
+                        ),
+                        challenge=lambda c: ch_s[c.index],
+                        negated=lambda a: -a,
+                        sum_=lambda a, b: a + b,
+                        product=lambda a, b: a * b,
+                        scaled=lambda a, f: a * F(f),
+                    )
+
+                def item_value(kind, proof_idx, aux) -> FVec:
+                    entry = layout[proof_idx]
+                    if kind == "gate":
+                        return eval_expr(aux, entry)
+                    z0 = entry["z"]
+                    if kind == "perm_l0":
+                        return vecs[IDX_L0] * (one - vecs[z0])
+                    if kind == "perm_llast":
+                        zl = vecs[z0 + num_sets[proof_idx] - 1]
+                        return vecs[IDX_LLAST] * (zl * zl - zl)
+                    if kind == "perm_cont":
+                        return vecs[IDX_L0] * (
+                            vecs[z0 + aux] - rot(vecs[z0 + aux - 1], last_rotation)
+                        )
+                    if kind == "perm_prod":
+                        chunk_index = aux
+                        columns = cs.permutation.columns
+                        cols = columns[chunk_index * chunk_len:(chunk_index + 1) * chunk_len]
+                        left = rot(vecs[z0 + chunk_index], 1)
                         for j, col in enumerate(cols):
-                            # beta * delta^(chunk*len + j), delta power static
+                            sigma = vecs[sigma_base + chunk_index * chunk_len + j]
+                            cv = vecs[col_poly_idx(col, entry)]
+                            left = left * (cv + sigma * beta_s + gamma_s)
+                        right = vecs[z0 + chunk_index]
+                        for j, col in enumerate(cols):
                             cur_s = beta_s * F(pow(delta, chunk_index * chunk_len + j, p))
-                            cv = self._column_part(col, fixed_ext, advice_ext, instance_ext)
+                            cv = vecs[col_poly_idx(col, entry)]
                             right = right * (cv + coset_x * cur_s + gamma_s)
-                        fold(l_active * (left - right))
-
-                off = entry["lookups"]
-                for lk_idx in range(num_lookups[proof_idx]):
+                        return vecs[IDX_LACT] * (left - right)
+                    # lookups
+                    lk_idx = aux
                     argument = cs.lookups[lk_idx]
-                    z, a_prime, s_prime = vecs[off + 3 * lk_idx : off + 3 * lk_idx + 3]
-                    fold(l0 * (one - z))
-                    fold(l_last * (z * z - z))
+                    zi = entry["lookups"] + 3 * lk_idx
+                    z, a_prime, s_prime = vecs[zi], vecs[zi + 1], vecs[zi + 2]
+                    if kind == "lk_l0":
+                        return vecs[IDX_L0] * (one - z)
+                    if kind == "lk_llast":
+                        return vecs[IDX_LLAST] * (z * z - z)
+                    if kind == "lk_prod":
+                        def compress(expressions):
+                            acc = const_vec(0)
+                            for e in expressions:
+                                acc = acc * theta_s + eval_expr(e, entry)
+                            return acc
 
-                    def compress(expressions):
-                        acc = const_vec(0)
-                        for e in expressions:
-                            acc = acc * theta_s + eval_expr(e, advice_ext, instance_ext)
-                        return acc
+                        inp = compress(argument.input_expressions)
+                        tab = compress(argument.table_expressions)
+                        left = rot(z, 1) * (a_prime + beta_s) * (s_prime + gamma_s)
+                        right = z * (inp + beta_s) * (tab + gamma_s)
+                        return vecs[IDX_LACT] * (left - right)
+                    if kind == "lk_l0_as":
+                        return vecs[IDX_L0] * (a_prime - s_prime)
+                    assert kind == "lk_as_prev"
+                    return (
+                        vecs[IDX_LACT]
+                        * (a_prime - s_prime)
+                        * (a_prime - rot(a_prime, -1))
+                    )
 
-                    inp = compress(argument.input_expressions)
-                    tab = compress(argument.table_expressions)
-                    left = rot(z, 1) * (a_prime + beta_s) * (s_prime + gamma_s)
-                    right = z * (inp + beta_s) * (tab + gamma_s)
-                    fold(l_active * (left - right))
-                    fold(l0 * (a_prime - s_prime))
-                    fold(l_active * (a_prime - s_prime) * (a_prime - rot(a_prime, -1)))
+                acc: Dict[int, Optional[FVec]] = {}
+                for gi, kind, proof_idx, aux, cluster in active:
+                    v = item_value(kind, proof_idx, aux) * y_pows[N - gi]
+                    acc[cluster] = v if acc.get(cluster) is None else acc[cluster] + v
+                return {c: a.vals for c, a in acc.items()}
 
-            assert h[0] is not None, "no constraints to evaluate"
-            return h[0].vals
+            fold_fn.needed_idx = needed_idx
+            return fold_fn
 
         import jax
+        from types import SimpleNamespace
 
-        # the traced structure depends only on the pk + proof shape: cache
-        # the compiled fold ON THE PK (the prover constructs a fresh
-        # Evaluator per proof) so later proofs skip tracing/compilation
-        cache_key = (num_proofs, num_lookups, num_sets, num_ch, n)
+        # traced structure depends only on pk + proof shape + c_lo: cache
+        # compiled folds ON THE PK so later proofs skip trace/compile
+        cache_key = (num_proofs, num_lookups, num_sets, num_ch, n_rows, rot_scale)
         cache = pk.__dict__.setdefault("_evalh_fold_cache", {})
-        if cache_key not in cache:
-            cache[cache_key] = jax.jit(fold_fn)
-        fold_jit = cache[cache_key]
 
-        ctx = domain.ctx
-        scal = {
+        def fold_for(c_lo: int):
+            key = (cache_key, c_lo)
+            if key not in cache:
+                fn = make_fold(c_lo)
+                cache[key] = (jax.jit(fn), fn.needed_idx)
+            return cache[key]
+
+        return SimpleNamespace(poly_list=poly_list, fold_for=fold_for, L=L)
+
+    def _scalar_inputs(self, challenges, y, beta, gamma, theta):
+        ctx = self.domain.ctx
+        return {
             "y": ctx.const(y),
             "beta": ctx.const(beta),
             "gamma": ctx.const(gamma),
@@ -276,22 +424,124 @@ class Evaluator:
             "ch": [ctx.const(c) for c in challenges],
         }
 
+    def evaluate_h_parts(
+        self,
+        advice_polys: List[List[Polynomial]],
+        instance_polys: List[List[Polynomial]],
+        challenges: List[int],
+        y: int,
+        beta: int,
+        gamma: int,
+        theta: int,
+        lookups: List[List],
+        permutations: List,
+    ) -> Polynomial:
+        """Cluster-aware part-wise quotient evaluation (reference
+        plonk/evaluation.rs:394-975 + domain.rs:314-495).
+
+        The extended domain is walked in m = extended_n/n parts; part i
+        holds the evaluations at zeta * ext_omega^i * omega^t, so base-row
+        rotations act within a part as plain rolls. Constraints are grouped
+        into **clusters** by ceil(log2(degree)) (evaluation.rs:181-216,
+        977-988): cluster c's accumulator only needs 2^c of the m parts
+        (`need_to_compute`, evaluation.rs:426-428), so low-degree
+        constraints are evaluated on proportionally fewer parts, and only
+        the columns a firing cluster references are coset-extended for that
+        part. Each constraint item carries the explicit y-power of its
+        position in the verifier's global fold order, which makes the
+        cluster-merged result (lagrange_vecs_to_extended, domain.rs:433-495)
+        exactly equal - and therefore proof-byte equal - to the plain
+        y-Horner fold."""
+        domain = self.domain
+        F = self.field
+        p = F.MODULUS
+        n = domain.n
+        m = domain.extended_n >> domain.k
+        mach = self._fold_machinery(
+            advice_polys, instance_polys, challenges, lookups, permutations,
+            n_rows=n, rot_scale=1,
+        )
+        L = mach.L
+        scal = self._scalar_inputs(challenges, y, beta, gamma, theta)
+        ctx = domain.ctx
+
         pw = powers(domain.omega, n, ctx)
-        part_results: List[Polynomial] = []
+        zero_part = Polynomial(LAGRANGE, FVec.zeros(F, n))
+        value_part_clusters: List[List[Polynomial]] = [
+            [zero_part] * (1 << c) for c in range(L + 1)
+        ]
         factor = 1
         for part_idx in range(m):
-            arrays = [
-                domain.coeff_to_extended_part(poly.copy(), factor).vec.vals
-                for poly in poly_list
-            ]
+            # need_to_compute(part, c) <=> part % (m >> c) == 0
+            # <=> c >= L - v2(part); part 0 fires every cluster
+            c_lo = 0 if part_idx == 0 else L - (part_idx & -part_idx).bit_length() + 1
+            fold_jit, needed_idx = mach.fold_for(c_lo)
+            arrays = {
+                i: domain.coeff_to_extended_part(mach.poly_list[i].copy(), factor).vec.vals
+                for i in needed_idx
+            }
             shift = domain.g_coset * factor % p
             shift_c = ctx.const(shift)
             coset_x_vals = ctx.mul(pw, jnp.broadcast_to(shift_c, pw.shape))
-            h_vals = fold_jit(arrays, coset_x_vals, scal)
-            part_results.append(Polynomial(LAGRANGE, FVec(F, h_vals)))
+            out = fold_jit(arrays, coset_x_vals, scal)
+            for c, vals in out.items():
+                value_part_clusters[c][part_idx >> (L - c)] = Polynomial(
+                    LAGRANGE, FVec(F, vals)
+                )
             factor = factor * domain.extended_omega % p
 
-        return domain.lagrange_vec_to_extended(part_results)
+        return domain.lagrange_vecs_to_extended(value_part_clusters)
+
+    def evaluate_h_mesh(
+        self,
+        advice_polys: List[List[Polynomial]],
+        instance_polys: List[List[Polynomial]],
+        challenges: List[int],
+        y: int,
+        beta: int,
+        gamma: int,
+        theta: int,
+        lookups: List[List],
+        permutations: List,
+    ) -> Polynomial:
+        """Mesh-sharded quotient evaluation: ONE jitted SPMD fold over the
+        full extended domain with every column row-sharded P('x').
+
+        The TPU-native replacement for the reference's per-thread chunk
+        scopes in evaluate_h (plonk/evaluation.rs:454,507-533): columns are
+        coset-extended by the four-step all-to-all NTT (sharded by the
+        mesh-aware `get_plan`), the constraint fold partitions pointwise
+        under XLA SPMD (rotations become collective permutes at shard
+        edges), and per-device memory is extended_n/D - the mesh is both
+        the parallel and the memory axis. Exact integer limb math makes the
+        result - and the proof bytes - identical to the single-chip
+        engines (pinned by tests/test_mesh_prover.py)."""
+        domain = self.domain
+        F = self.field
+        ext_n = domain.extended_n
+        m = ext_n >> domain.k
+        mach = self._fold_machinery(
+            advice_polys, instance_polys, challenges, lookups, permutations,
+            n_rows=ext_n, rot_scale=m,
+        )
+        scal = self._scalar_inputs(challenges, y, beta, gamma, theta)
+        ctx = domain.ctx
+
+        fold_jit, needed_idx = mach.fold_for(0)
+        arrays = {
+            i: domain.coeff_to_extended(mach.poly_list[i].copy()).vec.vals
+            for i in needed_idx
+        }
+        # coset abscissas zeta * ext_omega^t over the whole extended domain
+        pw = powers(domain.extended_omega, ext_n, ctx)
+        zeta_c = ctx.const(domain.g_coset)
+        coset_x_vals = ctx.mul(pw, jnp.broadcast_to(zeta_c, pw.shape))
+        out = fold_jit(arrays, coset_x_vals, scal)
+        h: Optional[jnp.ndarray] = None
+        for c in sorted(out):
+            h = out[c] if h is None else ctx.add(h, out[c])
+        assert h is not None
+        return Polynomial(EXTENDED, FVec(F, h))
 
     def evaluate_h_full(
         self,

@@ -161,21 +161,21 @@ class EvaluatedLookup:
 
 
 def evaluate_lookup(committed: CommittedLookup, pk, x: int, transcript) -> EvaluatedLookup:
+    """z/a'/s' evals at x, wx, w^-1 x in one batched device kernel
+    (reference lookup/prover.rs:365-390)."""
+    import jax.numpy as jnp
+
+    from ..ops.polyeval import batch_eval
+
     domain = pk.vk.domain
     F = pk.vk.curve.SCALAR
-    p = F.MODULUS
     x_inv = domain.rotate_omega(x, Rotation(-1))
     x_next = domain.rotate_omega(x, Rotation(1))
-    prod = committed.product_poly.vec.to_ints()
-    pin = committed.permuted_input_poly.vec.to_ints()
-    ptab = committed.permuted_table_poly.vec.to_ints()
-    for v in [
-        eval_polynomial_host(prod, x, p),
-        eval_polynomial_host(prod, x_next, p),
-        eval_polynomial_host(pin, x, p),
-        eval_polynomial_host(pin, x_inv, p),
-        eval_polynomial_host(ptab, x, p),
-    ]:
+    prod = committed.product_poly.vec.vals
+    pin = committed.permuted_input_poly.vec.vals
+    ptab = committed.permuted_table_poly.vec.vals
+    stack = jnp.stack([prod, prod, pin, pin, ptab])
+    for v in batch_eval(F, stack, [x, x_next, x, x_inv, x]):
         transcript.write_scalar(F(v))
     return EvaluatedLookup(committed)
 

@@ -111,18 +111,28 @@ def commit_permutation(
 
 
 def evaluate_permutation(committed: CommittedPermutation, pk, x: int, transcript):
+    """z evals at x, wx (+ w^last x for continuation sets) in one batched
+    device kernel (reference permutation/prover.rs evaluate)."""
+    import jax.numpy as jnp
+
+    from ..ops.polyeval import batch_eval
+
     domain = pk.vk.domain
     F = pk.vk.curve.SCALAR
-    p = F.MODULUS
     blinding = pk.vk.cs.blinding_factors()
     x_next = domain.rotate_omega(x, Rotation(1))
     x_last = domain.rotate_omega(x, Rotation(-(blinding + 1)))
+    stack, points = [], []
     for i, s in enumerate(committed.sets):
-        coeffs = s.poly.vec.to_ints()
-        transcript.write_scalar(F(eval_polynomial_host(coeffs, x, p)))
-        transcript.write_scalar(F(eval_polynomial_host(coeffs, x_next, p)))
+        vals = s.poly.vec.vals
+        stack.extend([vals, vals])
+        points.extend([x, x_next])
         if i + 1 < len(committed.sets):
-            transcript.write_scalar(F(eval_polynomial_host(coeffs, x_last, p)))
+            stack.append(vals)
+            points.append(x_last)
+    if stack:
+        for v in batch_eval(F, jnp.stack(stack), points):
+            transcript.write_scalar(F(v))
     return committed
 
 
@@ -141,14 +151,19 @@ def open_permutation(committed: CommittedPermutation, pk, x: int) -> List[Prover
 
 
 def evaluate_permutation_common(pk, x: int, transcript) -> List[int]:
-    """pk.permutation.evaluate: sigma poly evals at x (prover side)."""
+    """pk.permutation.evaluate: sigma poly evals at x (prover side),
+    batched on device."""
+    import jax.numpy as jnp
+
+    from ..ops.polyeval import batch_eval
+
     F = pk.vk.curve.SCALAR
-    p = F.MODULUS
-    evals = []
-    for poly in pk.permutation.polys:
-        v = eval_polynomial_host(poly.vec.to_ints(), x, p)
+    if not pk.permutation.polys:
+        return []
+    stack = jnp.stack([poly.vec.vals for poly in pk.permutation.polys])
+    evals = batch_eval(F, stack, [x] * len(pk.permutation.polys))
+    for v in evals:
         transcript.write_scalar(F(v))
-        evals.append(v)
     return evals
 
 

@@ -264,28 +264,30 @@ def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[Li
     xn = pow(x, n, p)
     stage = span("evaluations at x"); stage.__enter__()
 
+    # batch every instance/advice/fixed query into ONE device evaluation
+    # kernel (powers ladder + tree sum, ops/polyeval.py) instead of the
+    # reference's per-query parallel Horner (arithmetic.rs:243-268)
+    import jax.numpy as jnp
+
+    from ..ops.polyeval import batch_eval
+
+    eval_stack = []
+    eval_points = []
     if query_instance:
         for polys in instance_polys_all:
             for column, at in cs.instance_queries:
-                v = eval_polynomial_host(
-                    polys[column.index].vec.to_ints(), domain.rotate_omega(x, at), p
-                )
-                transcript.write_scalar(F(v))
-
-    advice_ints_cache = [
-        [poly.vec.to_ints() for poly in polys] for polys in advice_polys_all
-    ]
+                eval_stack.append(polys[column.index].vec.vals)
+                eval_points.append(domain.rotate_omega(x, at))
     for proof_idx in range(len(circuits)):
         for column, at in cs.advice_queries:
-            v = eval_polynomial_host(
-                advice_ints_cache[proof_idx][column.index], domain.rotate_omega(x, at), p
-            )
-            transcript.write_scalar(F(v))
-
-    fixed_ints_coeff = [fp.vec.to_ints() for fp in pk.fixed_polys]
+            eval_stack.append(advice_polys_all[proof_idx][column.index].vec.vals)
+            eval_points.append(domain.rotate_omega(x, at))
     for column, at in cs.fixed_queries:
-        v = eval_polynomial_host(fixed_ints_coeff[column.index], domain.rotate_omega(x, at), p)
-        transcript.write_scalar(F(v))
+        eval_stack.append(pk.fixed_polys[column.index].vec.vals)
+        eval_points.append(domain.rotate_omega(x, at))
+    if eval_stack:
+        for v in batch_eval(F, jnp.stack(eval_stack), eval_points):
+            transcript.write_scalar(F(v))
 
     vanishing_evaluated = vanishing.evaluate(vanishing_constructed, x, xn, domain, transcript)
 

@@ -31,7 +31,7 @@ class Constructed:
 
 @dataclass
 class Evaluated:
-    h_poly: List[int]
+    h_poly: Polynomial
     h_blind: int
     committed: Committed
 
@@ -54,11 +54,11 @@ def construct(committed: Committed, params, domain, h_poly: Polynomial, rng, tra
     F = params.curve.SCALAR
     h_poly = domain.divide_by_vanishing_poly(h_poly)
     h_coeffs = domain.extended_to_coeff(h_poly)  # FVec, len n*quotient_degree
-    h_ints = h_coeffs.to_ints()
     n = params.n
+    # split into n-sized pieces as device slices (no host round trip)
     pieces = [
-        Polynomial(COEFF, FVec.from_ints(F, h_ints[i : i + n]))
-        for i in range(0, len(h_ints), n)
+        Polynomial(COEFF, h_coeffs.slice(i, i + n))
+        for i in range(0, len(h_coeffs), n)
     ]
     blinds = [Blind(F.random(rng).v) for _ in pieces]
     for piece, blind in zip(pieces, blinds):
@@ -68,13 +68,16 @@ def construct(committed: Committed, params, domain, h_poly: Polynomial, rng, tra
 
 
 def evaluate(constructed: Constructed, x: int, xn: int, domain, transcript) -> Evaluated:
+    """Collapse h pieces by x^n Horner on device (reference
+    vanishing/prover.rs:147-174)."""
+    import jax.numpy as jnp
+
+    from ..ops.polyeval import horner_fold_mont
+
     F = domain.field
     p = F.MODULUS
-    n = domain.n
-    h_poly = [0] * n
-    for piece in reversed(constructed.h_pieces):
-        pv = piece.vec.to_ints()
-        h_poly = [(a * xn + b) % p for a, b in zip(h_poly, pv)]
+    stack = jnp.stack([piece.vec.vals for piece in reversed(constructed.h_pieces)])
+    h_poly = Polynomial(COEFF, FVec(F, horner_fold_mont(F, stack, xn)))
     h_blind = 0
     for blind in reversed(constructed.h_blinds):
         h_blind = (h_blind * xn + blind.value) % p

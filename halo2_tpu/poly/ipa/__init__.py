@@ -262,12 +262,31 @@ def ipa_commit_open(params: ParamsIPA, rng, transcript, p_poly: List[int], p_bli
     for _ in range(n):
         b.append(cur)
         cur = cur * x_3 % q
-    g_prime = list(params.g)
 
+    # TPU-native fold: the reference folds g in place each round
+    # (g' = g_lo + u_j * g_hi, commitment/prover.rs:119-152) - n host
+    # scalar-muls of points in round 1 alone. Instead g is NEVER folded:
+    # after r rounds g'[i] = sum over high-bit patterns of
+    # (prod selected u_t) * g[j] (the compute_s structure,
+    # commitment/verifier.rs compute_s), so each round's L/R is one MSM
+    # over the ORIGINAL static bases with coefficient-product scalars -
+    # device-resident bases, device Pippenger, mesh-sharded when a
+    # parallel.context mesh is active. Identical group elements, so
+    # identical proof bytes.
+    s_mult = [1] * n  # prod of u_t for the high bits folded so far
+    m = n
     for _ in range(params.k):
-        half = len(p_prime) // 2
-        l_j = msm(p_prime[half:], g_prime[:half], params.curve)
-        r_j = msm(p_prime[:half], g_prime[half:], params.curve)
+        half = m // 2
+        w_l = [0] * n
+        w_r = [0] * n
+        for j in range(n):
+            i = j & (m - 1)
+            if i < half:
+                w_l[j] = s_mult[j] * p_prime[i + half] % q
+            else:
+                w_r[j] = s_mult[j] * p_prime[i - half] % q
+        l_j = msm(w_l, params._bases_g, params.curve)
+        r_j = msm(w_r, params._bases_g, params.curve)
         value_l = compute_inner_product(p_prime[half:], b[:half], q)
         value_r = compute_inner_product(p_prime[:half], b[half:], q)
         l_rand = F.random(rng).v
@@ -281,8 +300,11 @@ def ipa_commit_open(params: ParamsIPA, rng, transcript, p_poly: List[int], p_bli
         u_j_inv = pow(u_j, -1, q)
         p_prime = [(p_prime[i] + p_prime[i + half] * u_j_inv) % q for i in range(half)]
         b = [(b[i] + b[i + half] * u_j) % q for i in range(half)]
-        g_prime = [g_prime[i] + g_prime[i + half].mul(u_j) for i in range(half)]
+        for j in range(n):
+            if j & half:
+                s_mult[j] = s_mult[j] * u_j % q
         f = (f + l_rand * u_j_inv + r_rand * u_j) % q
+        m = half
 
     transcript.write_scalar(params.curve.SCALAR(p_prime[0]))
     transcript.write_scalar(params.curve.SCALAR(f))
@@ -354,18 +376,35 @@ def compute_s(u: List[int], init: int, q: int) -> List[int]:
 
 
 def multiopen_prove(params: ParamsIPA, rng, transcript, queries: List[ProverQuery]):
+    """x1..x4 multiopen (reference ipa/multiopen/prover.rs).
+
+    The reference's per-set q-poly accumulation, Kate divisions, and evals
+    are O(n)-per-query host loops (`arithmetic.rs:243-306`); here every
+    polynomial stays an (n, 16) Montgomery limb tensor and the tail runs as
+    three device kernels (ops/polyeval.py): x1/x2/x4 scalar folds, the
+    associative-scan Kate division, and one batched eval at x3. Host ints
+    appear only at the transcript boundary."""
+    import jax.numpy as jnp
+
+    from ...ops.polyeval import batch_eval_mont, kate_division_mont
+
     q = params.curve.SCALAR.MODULUS
+    F = params.curve.SCALAR
+    field = F
+    n = params.n
     x_1 = int(transcript.squeeze_challenge())
     x_2 = int(transcript.squeeze_challenge())
 
     # commitment key: identity of (poly object, blind value)
-    poly_cache: Dict[int, List[int]] = {}
+    poly_cache: Dict[int, FVec] = {}
 
     def key_of(query):
         pid = id(query.poly)
         if pid not in poly_cache:
             poly_cache[pid] = (
-                query.poly if isinstance(query.poly, list) else query.poly.vec.to_ints()
+                FVec.from_ints(field, query.poly)
+                if isinstance(query.poly, list)
+                else query.poly.vec
             )
         return (pid, query.blind.value)
 
@@ -376,46 +415,49 @@ def multiopen_prove(params: ParamsIPA, rng, transcript, queries: List[ProverQuer
         get_eval=lambda qq: None,
     )
 
-    q_polys: List[Optional[List[int]]] = [None] * len(point_sets)
+    x1_s = F(x_1)
+    q_polys: List[Optional[FVec]] = [None] * len(point_sets)
     q_blinds = [0] * len(point_sets)
     for cd in poly_map:
         pid, blind_v = cd.commitment
         coeffs = poly_cache[pid]
         si = cd.set_index
         if q_polys[si] is None:
-            q_polys[si] = list(coeffs)
+            q_polys[si] = coeffs.copy()
         else:
-            q_polys[si] = [(a * x_1 + b) % q for a, b in zip(q_polys[si], coeffs)]
+            q_polys[si] = q_polys[si] * x1_s + coeffs
         q_blinds[si] = (q_blinds[si] * x_1 + blind_v) % q
 
-    q_prime_poly = None
+    x2_s = F(x_2)
+    q_prime: Optional[FVec] = None
     for points, poly in zip(point_sets, q_polys):
-        reduced = list(poly)
+        reduced = poly.vals
         for point in points:
-            reduced = kate_division(reduced, point, q)
-        reduced += [0] * (params.n - len(reduced))
-        if q_prime_poly is None:
-            q_prime_poly = reduced
-        else:
-            q_prime_poly = [(a * x_2 + b) % q for a, b in zip(q_prime_poly, reduced)]
+            # same length with top coefficient zeroed, so folds stay aligned
+            reduced = kate_division_mont(field, reduced, point)
+        rvec = FVec(field, reduced)
+        q_prime = rvec if q_prime is None else q_prime * x2_s + rvec
 
-    F = params.curve.SCALAR
     q_prime_blind = F.random(rng).v
-    q_prime_commitment = params.commit(q_prime_poly, Blind(q_prime_blind))
+    q_prime_ints = q_prime.to_ints()
+    q_prime_commitment = params.commit(q_prime_ints, Blind(q_prime_blind))
     transcript.write_point(q_prime_commitment)
 
     x_3 = int(transcript.squeeze_challenge())
-    for q_i in q_polys:
-        transcript.write_scalar(F(eval_polynomial_host(q_i, x_3, q)))
+    stacked = jnp.stack([qp.vals for qp in q_polys])
+    ctx = q_prime.ctx
+    for ev in ctx.decode_ints(batch_eval_mont(field, stacked, [x_3] * len(q_polys))):
+        transcript.write_scalar(F(ev))
 
     x_4 = int(transcript.squeeze_challenge())
-    p_poly = q_prime_poly
+    x4_s = F(x_4)
+    p_vec = q_prime
     p_blind = q_prime_blind
     for poly, blind in zip(q_polys, q_blinds):
-        p_poly = [(a * x_4 + b) % q for a, b in zip(p_poly, poly)]
+        p_vec = p_vec * x4_s + poly
         p_blind = (p_blind * x_4 + blind) % q
 
-    ipa_commit_open(params, rng, transcript, p_poly, Blind(p_blind), x_3)
+    ipa_commit_open(params, rng, transcript, p_vec.to_ints(), Blind(p_blind), x_3)
 
 
 def multiopen_verify(params: ParamsIPA, transcript, queries: List[VerifierQuery], msm_acc: MSMIPA) -> GuardIPA:

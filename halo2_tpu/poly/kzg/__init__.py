@@ -26,7 +26,7 @@ from ...curves import Bn254G1, Curve, Point
 from ...fields import FieldElement
 from ...ops.msm import MSMBases, msm
 from ...pairing import PointG2, pairing_check
-from ...poly import eval_polynomial_host, lagrange_interpolate_host
+from ...poly import FVec, eval_polynomial_host, lagrange_interpolate_host
 from ..commitment import Blind, ProverQuery, VerifierQuery, kate_division
 
 QUERY_INSTANCE = False
@@ -216,32 +216,38 @@ def _gwc_sets(queries, get_point):
 
 
 def gwc_prove(params: ParamsKZG, rng, transcript, queries: List[ProverQuery]):
-    q = params.curve.SCALAR.MODULUS
+    """GWC per-point quotients (reference kzg/multiopen/gwc/prover.rs).
+
+    The v-fold and Kate division run as device kernels over (n, 16) limb
+    tensors (ops/polyeval.py) instead of the reference's host loops."""
+    from ...ops.polyeval import kate_division_mont
+
+    F = params.curve.SCALAR
     v = int(transcript.squeeze_challenge())
+    v_s = F(v)
 
-    poly_cache: Dict[int, List[int]] = {}
+    poly_cache: Dict[int, FVec] = {}
 
-    def coeffs_of(query) -> List[int]:
+    def vec_of(query) -> FVec:
         pid = id(query.poly)
         if pid not in poly_cache:
             poly_cache[pid] = (
-                query.poly if isinstance(query.poly, list) else query.poly.vec.to_ints()
+                FVec.from_ints(F, query.poly)
+                if isinstance(query.poly, list)
+                else query.poly.vec
             )
         return poly_cache[pid]
 
     for z, qs in _gwc_sets(queries, lambda qq: qq.point):
-        poly_batch = [0] * params.n
-        power_of_v = 1
-        for query in qs:
-            coeffs = coeffs_of(query)
-            for i, c in enumerate(coeffs):
-                poly_batch[i] = (poly_batch[i] + c * power_of_v) % q
-            power_of_v = power_of_v * v % q
+        # sum_j v^j P_j as a reversed Horner fold on device
+        batch: Optional[FVec] = None
+        for query in reversed(qs):
+            pv = vec_of(query)
+            batch = pv.copy() if batch is None else batch * v_s + pv
         # no eval subtraction needed before kate division: division by (X-z)
         # ignores the remainder, matching reference's poly_batch - eval_batch
-        witness = kate_division(poly_batch, z, q)
-        witness += [0] * (params.n - len(witness))
-        w = params.commit(witness)
+        witness = FVec(F, kate_division_mont(F, batch.vals, z))
+        w = params.commit(witness.to_ints())
         transcript.write_point(w)
 
 
@@ -343,17 +349,32 @@ def _eval_vanishing(roots: Sequence[int], x: int, q: int) -> int:
 
 
 def shplonk_prove(params: ParamsKZG, rng, transcript, queries: List[ProverQuery]):
+    """SHPLONK rotation-set quotients (reference multiopen/shplonk/prover.rs).
+
+    Polynomials stay (n, 16) Montgomery limb tensors throughout: the y/v
+    folds are device scalar folds, per-commitment evals at the rotation
+    points run as one batched device kernel, and the Z_i quotients are
+    associative-scan Kate divisions (ops/polyeval.py). Only the low-degree
+    interpolants r_ij (degree < #points, a handful of coefficients) and the
+    Z(u) products are host bigints."""
+    import jax.numpy as jnp
+
+    from ...ops.polyeval import batch_eval_mont, kate_division_mont
+
     q = params.curve.SCALAR.MODULUS
     F = params.curve.SCALAR
     y = int(transcript.squeeze_challenge())
+    y_s = F(y)
 
-    poly_cache: Dict[int, List[int]] = {}
+    poly_cache: Dict[int, FVec] = {}
 
     def key_of(query):
         pid = id(query.poly)
         if pid not in poly_cache:
             poly_cache[pid] = (
-                query.poly if isinstance(query.poly, list) else query.poly.vec.to_ints()
+                FVec.from_ints(F, query.poly)
+                if isinstance(query.poly, list)
+                else query.poly.vec
             )
         return pid
 
@@ -364,76 +385,94 @@ def shplonk_prove(params: ParamsKZG, rng, transcript, queries: List[ProverQuery]
         get_eval=lambda qq: None,
     )
 
-    # low-degree equivalents r_i_j(X) per commitment
+    # all (commitment, point) evals in ONE batched device kernel
+    eval_stack, eval_points = [], []
+    for points, commitments in rotation_sets:
+        for key, _ in commitments:
+            for pt in points:
+                eval_stack.append(poly_cache[key].vals)
+                eval_points.append(pt)
+    ctx = next(iter(poly_cache.values())).ctx
+    flat_evals = ctx.decode_ints(
+        batch_eval_mont(F, jnp.stack(eval_stack), eval_points)
+    )
+
+    # low-degree equivalents r_i_j(X) per commitment (degree < #points)
     extended = []
+    pos = 0
     for points, commitments in rotation_sets:
         exts = []
         for key, _ in commitments:
-            coeffs = poly_cache[key]
-            evals = [eval_polynomial_host(coeffs, pt, q) for pt in points]
+            evals = flat_evals[pos : pos + len(points)]
+            pos += len(points)
             low = lagrange_interpolate_host(points, evals, F)
             exts.append((key, low))
         extended.append((points, exts))
 
     v = int(transcript.squeeze_challenge())
+    v_s = F(v)
+
+    # per set: fold_p = sum_j y^j P_ij on device (reused for h and L)
+    fold_ps: List[FVec] = []
+    for points, exts in extended:
+        fp: Optional[FVec] = None
+        for key, _low in reversed(exts):
+            pv = poly_cache[key]
+            fp = pv.copy() if fp is None else fp * y_s + pv
+        fold_ps.append(fp)
 
     # h(X) = sum_i v^i * (sum_j y^j (P_ij - R_ij)) / Z_i
-    h_x = [0] * params.n
-    power_of_v = 1
-    for points, exts in extended:
-        n_x = [0] * params.n
+    h_vec: Optional[FVec] = None
+    for (points, exts), fold_p in zip(reversed(extended), reversed(fold_ps)):
+        # subtract the y-fold of the low-degree interpolants (host, tiny)
+        s_low = [0] * len(points)
         power_of_y = 1
-        for key, low in exts:
-            coeffs = poly_cache[key]
-            for i, c in enumerate(coeffs):
-                n_x[i] = (n_x[i] + power_of_y * c) % q
+        for _key, low in exts:
             for i, c in enumerate(low):
-                n_x[i] = (n_x[i] - power_of_y * c) % q
+                s_low[i] = (s_low[i] - power_of_y * c) % q
             power_of_y = power_of_y * y % q
+        n_x = fold_p + FVec.from_ints(F, s_low).pad_to(params.n)
+        reduced = n_x.vals
         for pt in points:
-            n_x = kate_division(n_x, pt, q)
-        n_x += [0] * (params.n - len(n_x))
-        for i, c in enumerate(n_x):
-            h_x[i] = (h_x[i] + power_of_v * c) % q
-        power_of_v = power_of_v * v % q
+            reduced = kate_division_mont(F, reduced, pt)
+        rvec = FVec(F, reduced)
+        h_vec = rvec if h_vec is None else h_vec * v_s + rvec
 
+    h_x = h_vec.to_ints()
     h = params.commit(h_x)
     transcript.write_point(h)
     u = int(transcript.squeeze_challenge())
 
     # linearisation L(X) = sum_i v^i z_diff_i * (sum_j y^j (P_ij - r_ij(u))) - Z_T(u) h(X)
-    l_x = [0] * params.n
+    l_vec: Optional[FVec] = None
     z_diffs = []
     power_of_v = 1
-    for points, exts in extended:
+    for (points, exts), fold_p in zip(extended, fold_ps):
         diffs = [pt for pt in super_point_set if pt not in points]
         z_i = _eval_vanishing(diffs, u, q)
         z_diffs.append(z_i)
-        inner = [0] * params.n
+        # constant correction: - sum_j y^j r_ij(u) folded into coeff 0
+        const = 0
         power_of_y = 1
-        for key, low in exts:
-            coeffs = poly_cache[key]
+        for _key, low in exts:
             r_eval = eval_polynomial_host(low, u, q)
-            for i, c in enumerate(coeffs):
-                inner[i] = (inner[i] + power_of_y * c) % q
-            inner[0] = (inner[0] - power_of_y * r_eval) % q
+            const = (const - power_of_y * r_eval) % q
             power_of_y = power_of_y * y % q
+        inner = fold_p + FVec.from_ints(F, [const]).pad_to(params.n)
         scale = power_of_v * z_i % q
-        for i, c in enumerate(inner):
-            l_x[i] = (l_x[i] + scale * c) % q
+        term = inner * F(scale)
+        l_vec = term if l_vec is None else l_vec + term
         power_of_v = power_of_v * v % q
 
     zt_eval = _eval_vanishing(super_point_set, u, q)
-    for i, c in enumerate(h_x):
-        l_x[i] = (l_x[i] - zt_eval * c) % q
+    l_vec = l_vec + h_vec * F((q - zt_eval) % q)
 
-    assert eval_polynomial_host(l_x, u, q) == 0, "SHPLONK linearisation sanity"
+    sanity = ctx.decode_ints(batch_eval_mont(F, l_vec.vals[None], [u]))[0]
+    assert sanity == 0, "SHPLONK linearisation sanity"
 
-    h2_x = kate_division(l_x, u, q)
-    z_0_diff_inv = pow(z_diffs[0], -1, q)
-    h2_x = [c * z_0_diff_inv % q for c in h2_x]
-    h2_x += [0] * (params.n - len(h2_x))
-    h2 = params.commit(h2_x)
+    h2_vec = FVec(F, kate_division_mont(F, l_vec.vals, u))
+    h2_vec = h2_vec * F(pow(z_diffs[0], -1, q))
+    h2 = params.commit(h2_vec.to_ints())
     transcript.write_point(h2)
 
 
