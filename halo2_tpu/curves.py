@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple, Type
 
-from .fields import FieldElement, Fp, Fq, FqBn, FrBn
+from .fields import FieldElement, Fp, FpSecp, Fq, FqBn, FqSecp, FrBn
 
 # Jacobian point = (X, Y, Z) ints; identity = (0, 1, 0) with Z == 0.
 Jac = Tuple[int, int, int]
@@ -170,6 +170,7 @@ class Curve:
     B: int
     GENERATOR_XY: Tuple[int, int]
     CURVE_ID: str = ""  # hash-to-curve curve id, e.g. "pallas"
+    COMPRESSED_SIZE: int = 32  # 33 when the base field fills all 256 bits
 
     @classmethod
     def p(cls) -> int:
@@ -201,10 +202,14 @@ class Curve:
     # -- compressed serialization (halo2curves convention) --
     @classmethod
     def from_bytes(cls, b: bytes) -> "Point":
-        assert len(b) == 32
-        sign = b[31] >> 7
-        xb = bytes(b[:31]) + bytes([b[31] & 0x7F])
-        x = int.from_bytes(xb, "little")
+        assert len(b) == cls.COMPRESSED_SIZE
+        if cls.COMPRESSED_SIZE == 33:
+            sign = b[32] >> 7
+            x = int.from_bytes(b[:32], "little")
+        else:
+            sign = b[31] >> 7
+            xb = bytes(b[:31]) + bytes([b[31] & 0x7F])
+            x = int.from_bytes(xb, "little")
         if x == 0 and sign == 0:
             return cls.identity()
         if x >= cls.p():
@@ -284,9 +289,16 @@ class Point:
         return f"{self.curve.__name__}(0x{self.xy[0]:x}, 0x{self.xy[1]:x})"
 
     def to_bytes(self) -> bytes:
-        """Compressed encoding: x LE, top bit = parity of y; identity = zeros."""
+        """Compressed encoding: x LE, top bit = parity of y; identity = zeros.
+        Curves with COMPRESSED_SIZE = 33 carry the sign in a trailing byte
+        (halo2curves Secp256k1Compressed)."""
+        size = self.curve.COMPRESSED_SIZE
         if self.xy is None:
-            return bytes(32)
+            return bytes(size)
+        if size == 33:
+            return self.xy[0].to_bytes(32, "little") + bytes(
+                [(self.xy[1] & 1) << 7]
+            )
         xb = bytearray(self.xy[0].to_bytes(32, "little"))
         xb[31] |= (self.xy[1] & 1) << 7
         return bytes(xb)
@@ -320,3 +332,19 @@ class Bn254G1(Curve):
     B = 3
     GENERATOR_XY = (1, 2)
     CURVE_ID = "bn254-g1"
+
+
+class Secp256k1(Curve):
+    """secp256k1 (halo2curves secp256k1/curve.rs). The 256-bit base field
+    leaves no spare bit in 32 bytes, so compressed points carry a 33rd
+    sign byte (halo2curves Secp256k1Compressed)."""
+
+    BASE = FpSecp
+    SCALAR = FqSecp
+    B = 7
+    GENERATOR_XY = (
+        0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798,
+        0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8,
+    )
+    CURVE_ID = "secp256k1"
+    COMPRESSED_SIZE = 33

@@ -256,6 +256,32 @@ class FqBn(FieldElement):
     S = 1
 
 
+# --------------------------------------------------------------------------
+# secp256k1 (halo2curves secp256k1/{fp,fq}.rs; in halo2curves' concrete
+# curve set, SURVEY.md layer 0). Not FFT-friendly (S = 1 / S = 6): used for
+# in-circuit ECC/ECDSA, never as a proof-system domain field.
+# --------------------------------------------------------------------------
+
+SECP_P = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEFFFFFC2F
+SECP_N = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141
+
+
+class FpSecp(FieldElement):
+    """secp256k1 base field (2^256 - 2^32 - 977)."""
+
+    MODULUS = SECP_P
+    GENERATOR = 3
+    S = 1
+
+
+class FqSecp(FieldElement):
+    """secp256k1 scalar field (the group order)."""
+
+    MODULUS = SECP_N
+    GENERATOR = 7
+    S = 6
+
+
 def batch_invert(elems: Iterable[FieldElement]) -> list:
     """Montgomery's trick: invert many elements with one field inversion.
 

@@ -91,3 +91,29 @@ def test_batch_to_affine():
             assert out is None
         else:
             assert out == expect.xy
+
+
+def test_secp256k1():
+    """secp256k1 constants and group law (halo2curves secp256k1/curve.rs);
+    2G pinned from the SEC 2 standard test vectors."""
+    from halo2_tpu.curves import Secp256k1
+    from halo2_tpu.fields import FqSecp
+
+    g = Secp256k1.generator()
+    two_g = g + g
+    assert two_g.xy == (
+        0xC6047F9441ED7D6D3045406E95C07CD85C778E4B8CEF3CA7ABAC09B95C709EE5,
+        0x1AE168FEA63DC339A3C58419466CEAEEF7F632653266D0E1236431A950CFE52A,
+    )
+    assert g.mul(2) == two_g
+    # group order annihilates
+    assert g.mul(FqSecp.MODULUS).is_identity()
+    # 33-byte compressed round trip (sign in trailing byte)
+    for pt in (g, two_g, -two_g, Secp256k1.identity()):
+        b = pt.to_bytes()
+        assert len(b) == 33
+        assert Secp256k1.from_bytes(b) == pt
+    # scalar field 2-adic root of unity has exact order 2^6
+    w = FqSecp.ROOT_OF_UNITY
+    n = FqSecp.MODULUS
+    assert pow(w, 1 << 6, n) == 1 and pow(w, 1 << 5, n) != 1
