@@ -80,14 +80,42 @@ class VerifyFailure:
     kind: str  # cell_not_assigned | constraint | constraint_poisoned | lookup | permutation
     detail: str
     location: Optional[FailureLocation] = None
-    cell_values: Optional[List[Tuple[str, str]]] = None  # (cell repr, value)
+    # (column repr, rotation, value repr) per queried cell of the failing gate
+    cell_values: Optional[List[Tuple[str, int, str]]] = None
+
+    def _render_cell_table(self) -> str:
+        """Aligned cell-layout table (reference dev/failure.rs:125-188 +
+        failure/emitter.rs render): one row per rotation offset, one column
+        per queried column, values filled in; '<--' marks the gate row."""
+        columns = sorted({c for c, _r, _v in self.cell_values})
+        rotations = sorted({r for _c, r, _v in self.cell_values})
+        values = {(c, r): v for c, r, v in self.cell_values}
+        headers = ["Offset"] + columns
+        rows = [
+            [str(r)] + [values.get((c, r), "") for c in columns]
+            for r in rotations
+        ]
+        widths = [
+            max(len(headers[i]), *(len(row[i]) for row in rows))
+            for i in range(len(headers))
+        ]
+
+        def fmt(cells):
+            return "  | " + " | ".join(c.ljust(w) for c, w in zip(cells, widths)) + " |"
+
+        out = [fmt(headers)]
+        out.append("  |" + "|".join("-" * (w + 2) for w in widths) + "|")
+        for r, row in zip(rotations, rows):
+            out.append(fmt(row) + (" <--" if r == 0 else ""))
+        return "\n".join(out)
 
     def __str__(self):
         s = f"{self.kind}: {self.detail}"
         if self.location is not None:
             s += f" [{self.location}]"
         if self.cell_values:
-            s += "".join(f"\n  {c} = {v}" for c, v in self.cell_values)
+            s += "\n  Cell layout at the failing row:\n"
+            s += self._render_cell_table()
         return s
 
 
@@ -506,7 +534,7 @@ class MockProver:
                                     "unassigned" if cv is UNASSIGNED
                                     else ("poison" if _is_poison(cv) else f"0x{cv[1]:x}")
                                 )
-                            cell_values.append((f"{column}@{rotation.i}", str(val)))
+                            cell_values.append((str(column), rotation.i, str(val)))
                         failures.append(
                             VerifyFailure(
                                 "constraint",
