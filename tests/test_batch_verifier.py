@@ -13,6 +13,8 @@ from halo2_tpu.utils.chacha import ChaCha20Rng
 
 from circuits import MulCircuit
 
+pytestmark = pytest.mark.slow
+
 
 def _proof(params, pk, a, b, seed):
     p = Fp.MODULUS

@@ -23,6 +23,8 @@ from halo2_tpu.poly.ipa import ParamsIPA
 from halo2_tpu.transcript import Blake2bRead, Blake2bWrite
 from halo2_tpu.utils.chacha import ChaCha20Rng
 
+pytestmark = pytest.mark.slow
+
 
 @dataclass
 class WidthConfig:

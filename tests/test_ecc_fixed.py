@@ -28,6 +28,8 @@ from halo2_tpu.gadgets.utilities import LookupRangeCheckConfig, load_private
 from halo2_tpu.plonk import ConstraintSystem
 from halo2_tpu.poly import eval_polynomial_host
 
+pytestmark = pytest.mark.slow
+
 P = Fp.MODULUS
 Q = Fq.MODULUS
 

@@ -12,6 +12,8 @@ from halo2_tpu.frontend import Circuit, Layouter, Value
 from halo2_tpu.gadgets.ecc import EccChip
 from halo2_tpu.plonk import ConstraintSystem
 
+pytestmark = pytest.mark.slow
+
 
 class EccOpsCircuit(Circuit):
     """Witness P, Q; check P+Q (complete & incomplete), P+P, P+(-P),

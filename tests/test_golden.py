@@ -7,6 +7,8 @@ shows up as a diff here. Cross-checking against Rust-generated proof bytes
 (BASELINE config 1) replaces these with reference-captured values once the
 SSWU/transcript_repr parity gaps close (docs/PARITY.md)."""
 
+import pytest
+
 import hashlib
 import json
 import os
@@ -20,6 +22,8 @@ from halo2_tpu.plonk.prover import create_proof
 from halo2_tpu.poly.ipa import ParamsIPA
 from halo2_tpu.transcript import Blake2bWrite
 from halo2_tpu.utils.chacha import ChaCha20Rng
+
+pytestmark = pytest.mark.slow
 
 GOLDEN = json.load(open(os.path.join(os.path.dirname(__file__), "fixtures_golden.json")))
 

@@ -15,6 +15,8 @@ from halo2_tpu.poly.commitment import Blind, ProverQuery, VerifierQuery
 from halo2_tpu.poly.kzg import MULTIOPEN, DualMSM, ParamsKZG
 from halo2_tpu.transcript import Blake2bRead, Blake2bWrite, Keccak256Read, Keccak256Write
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def params():

@@ -17,6 +17,8 @@ from halo2_tpu.poly.ipa import ParamsIPA
 from halo2_tpu.transcript import Blake2bRead, Blake2bWrite, TranscriptError
 from halo2_tpu.utils.chacha import ChaCha20Rng
 
+pytestmark = pytest.mark.slow
+
 K = 5
 TABLE_BITS = 3  # table = [0, 8)
 

@@ -16,6 +16,8 @@ import pytest
 
 from halo2_tpu.fields import Fq, FrBn
 
+pytestmark = pytest.mark.slow
+
 _SNIPPET = textwrap.dedent(
     """
     import os

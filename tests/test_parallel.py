@@ -30,6 +30,9 @@ sys.path.insert(0, {repo!r})
 # fresh processes compile few programs, so the persistent cache is safe
 # here (the in-suite segfault is tied to large single-process accumulation)
 import jax
+# env var alone does not stop the axon plugin from initializing;
+# the config API is authoritative (see conftest.py)
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", {cache!r})
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -71,6 +74,8 @@ print("OK")
 """,
     "sharded_quotient": """
 import jax.numpy as jnp
+
+pytestmark = pytest.mark.slow
 k = 5
 sq = ShardedQuotient(Fq, 3, k, mesh)
 n = 1 << k

@@ -15,6 +15,8 @@ from halo2_tpu.fields import Fp
 from halo2_tpu.plonk.keygen import keygen_vk
 from halo2_tpu.poly.ipa import ParamsIPA
 
+pytestmark = pytest.mark.slow
+
 K = 5
 
 _FIXTURE = open(

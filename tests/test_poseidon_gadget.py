@@ -16,6 +16,8 @@ from halo2_tpu.gadgets.poseidon_primitives import (
 )
 from halo2_tpu.plonk import ConstraintSystem
 
+pytestmark = pytest.mark.slow
+
 
 class HashCircuit(Circuit):
     def __init__(self, message=None):

@@ -18,6 +18,8 @@ from halo2_tpu.utils.chacha import ChaCha20Rng
 
 from circuits import MulCircuit
 
+pytestmark = pytest.mark.slow
+
 K = 4
 
 

@@ -25,6 +25,8 @@ from halo2_tpu.gadgets.sha256 import (
 )
 from halo2_tpu.plonk import ConstraintSystem
 
+pytestmark = pytest.mark.slow
+
 
 def _ref_digest(msg: bytes):
     h = hashlib.sha256(msg).digest()

@@ -12,6 +12,8 @@ from halo2_tpu.gadgets.sinsemilla import SinsemillaChip, SinsemillaHashGadget
 from halo2_tpu.gadgets.sinsemilla_primitives import K, HashDomain
 from halo2_tpu.plonk import ConstraintSystem
 
+pytestmark = pytest.mark.slow
+
 NUM_WORDS = 3
 DOMAIN = "sinsemilla-gadget-test"
 

@@ -21,6 +21,8 @@ from halo2_tpu.gadgets.sinsemilla_primitives import K
 from halo2_tpu.gadgets.utilities import LookupRangeCheckConfig, i2lebsp, load_private
 from halo2_tpu.plonk import ConstraintSystem
 
+pytestmark = pytest.mark.slow
+
 P = Fp.MODULUS
 DEPTH = 2
 
