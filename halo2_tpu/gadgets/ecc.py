@@ -80,6 +80,9 @@ class EccConfig:
     beta: object
     gamma: object
     delta: object
+    # row-optimized variable-base mul (ecc_mul.py); present when the chip
+    # was configured with a 10-bit lookup config (reference mul.rs)
+    var_mul: object = None
 
 
 class EccChip:
@@ -87,7 +90,7 @@ class EccChip:
         self.config = config
 
     @staticmethod
-    def configure(meta: ConstraintSystem, advices) -> EccConfig:
+    def configure(meta: ConstraintSystem, advices, lookup_config=None) -> EccConfig:
         assert len(advices) == 10
         for col in advices:
             meta.enable_equality(col)
@@ -202,10 +205,16 @@ class EccChip:
 
         meta.create_gate("mul bit select", mul_bit_gate)
 
-        return EccConfig(
+        config = EccConfig(
             list(advices), q_point, q_point_non_id, q_add_incomplete, q_add,
             q_mul_bit, x_p, y_p, x_qr, y_qr, lam, alpha, beta, gamma, delta,
         )
+        if lookup_config is not None:
+            # row-optimized variable-base mul needs the 10-bit range table
+            from .ecc_mul import configure_var_mul
+
+            config.var_mul = configure_var_mul(meta, config, lookup_config)
+        return config
 
     # ---- instructions ----
     def witness_point(self, layouter: Layouter, value: Value) -> EccPoint:
@@ -383,3 +392,19 @@ class EccChip:
 
         result = layouter.assign_region("variable-base mul", in_region)
         return result, scalar
+
+    def mul_var(self, layouter: Layouter, alpha, base: NonIdentityEccPoint):
+        """Row-optimized variable-base mul (reference ecc/chip/mul.rs):
+        ~137 rows + a 13-word overflow lookup, vs ~1530 for `mul`. `alpha`
+        is a base-field AssignedCell (or a Value, witnessed here); needs
+        the chip configured with a lookup_config and the 10-bit table
+        loaded."""
+        assert self.config.var_mul is not None, (
+            "EccChip.configure(..., lookup_config=...) required for mul_var"
+        )
+        from .ecc_mul import VarMul
+        from .utilities import load_private
+
+        if isinstance(alpha, Value):
+            alpha = load_private(layouter, self.config.advices[0], alpha)
+        return VarMul(self, self.config.var_mul).assign(layouter, alpha, base)
