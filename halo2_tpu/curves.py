@@ -136,7 +136,14 @@ def jac_to_affine(a: Jac, p: int) -> Optional[Tuple[int, int]]:
 
 
 def batch_to_affine(pts: Sequence[Jac], p: int) -> List[Optional[Tuple[int, int]]]:
-    """Batch-normalize Jacobian points with a single inversion."""
+    """Batch-normalize Jacobian points with a single inversion. Native when
+    built (pinned equal by tests/test_native.py)."""
+    if len(pts) >= 16:
+        from .native import native_batch_normalize
+
+        out = native_batch_normalize(pts, p)
+        if out is not None:
+            return out
     zs = [pt[2] for pt in pts]
     prefix = []
     acc = 1
@@ -275,6 +282,15 @@ class Point:
 
     def mul(self, k) -> "Point":
         k = int(k) % self.curve.SCALAR.MODULUS
+        if self.xy is not None and k > 0xFFFF:
+            # native double-and-add when built (tests spin many point muls;
+            # Python bigint jac_mul stays the spec, pinned equal by
+            # tests/test_native.py)
+            from .native import native_point_mul
+
+            jac = native_point_mul(self.xy, k, self.curve)
+            if jac is not None:
+                return self.curve.from_jacobian(jac)
         return self.curve.from_jacobian(jac_mul(self.jacobian(), k, self.curve.p()))
 
     def __eq__(self, o) -> bool:

@@ -68,8 +68,24 @@ class ParamsIPA:
 
     @classmethod
     def cached(cls, curve: Type[Curve], k: int) -> "ParamsIPA":
+        """Memory- and disk-cached params (the reference's sha256 bench
+        caches params on disk the same way, benches/sha256.rs:92-106).
+        Disk location: $H2_PARAMS_CACHE or <package>/../.params_cache;
+        set H2_PARAMS_CACHE=0 to disable the disk layer."""
         key = (curve.__name__, k)
         if key not in cls._cache:
+            cache_dir = os.environ.get("H2_PARAMS_CACHE", "")
+            if cache_dir != "0":
+                if not cache_dir:
+                    cache_dir = os.path.join(
+                        os.path.dirname(os.path.dirname(os.path.dirname(
+                            os.path.dirname(os.path.abspath(__file__))))),
+                        ".params_cache",
+                    )
+                path = os.path.join(cache_dir, f"ipa-{curve.__name__}-k{k}.raw")
+                if os.path.exists(path):
+                    cls._cache[key] = cls._read_raw(curve, path)
+                    return cls._cache[key]
             # derive from a larger cached params if available (downsize)
             bigger = [kk for (cn, kk) in cls._cache if cn == curve.__name__ and kk > k]
             if bigger:
@@ -78,7 +94,35 @@ class ParamsIPA:
                 cls._cache[key] = cls(curve, k, g, _g_to_lagrange(curve, g, k), big.w, big.u)
             else:
                 cls._cache[key] = cls.new(curve, k)
+            if cache_dir != "0":
+                try:
+                    cls._cache[key]._write_raw(path)
+                except OSError:
+                    pass
         return cls._cache[key]
+
+    # raw uncompressed disk-cache format (no per-point sqrt on load, unlike
+    # the compressed write()/read() wire format)
+    def _write_raw(self, path: str) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(self.k.to_bytes(4, "little"))
+            for pt in self.g + self.g_lagrange + [self.w, self.u]:
+                f.write(pt.to_bytes_uncompressed())
+        os.replace(tmp, path)
+
+    @classmethod
+    def _read_raw(cls, curve: Type[Curve], path: str) -> "ParamsIPA":
+        with open(path, "rb") as f:
+            data = f.read()
+        k = int.from_bytes(data[:4], "little")
+        n = 1 << k
+        pts = [
+            curve.from_bytes_uncompressed(data[4 + 64 * i : 4 + 64 * (i + 1)])
+            for i in range(2 * n + 2)
+        ]
+        return cls(curve, k, pts[:n], pts[n : 2 * n], pts[2 * n], pts[2 * n + 1])
 
     # -- commitments --
     def commit_lagrange(self, values: Sequence[int], blind: Blind) -> Point:
@@ -126,8 +170,17 @@ def _g_to_lagrange(curve: Type[Curve], g: List[Point], k: int) -> List[Point]:
     n = 1 << k
     omega_inv = pow(pow(F.ROOT_OF_UNITY, 1 << (F.S - k), q), -1, q)
     n_inv = pow(n, -1, q)
-    # iterative radix-2 NTT over jacobian points with omega_inv twiddles
     a = [pt.jacobian() for pt in g]
+    from ...native import native_g_ntt
+
+    nat = native_g_ntt(a, curve, k, omega_inv, n_inv, q)
+    if nat is not None:
+        return [
+            Point(curve, xy) if xy else Point(curve, None)
+            for xy in batch_to_affine(nat, p)
+        ]
+    # iterative radix-2 NTT over jacobian points with omega_inv twiddles
+    # (pure-Python spec; pinned equal by tests/test_native.py)
     # bit reversal
     rev = 0
     for i in range(1, n):
