@@ -73,9 +73,6 @@ assert ref == out
 print("OK")
 """,
     "sharded_quotient": """
-import jax.numpy as jnp
-
-pytestmark = pytest.mark.slow
 k = 5
 sq = ShardedQuotient(Fq, 3, k, mesh)
 n = 1 << k
