@@ -17,6 +17,7 @@ host (suffix sums + Horner over windows).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 from typing import List, Optional, Sequence, Type
 
@@ -250,10 +251,24 @@ def msm(
         curve = curve or host_points[0].curve
     from ..utils.measure import span
 
+    from ..parallel.context import active_mesh
+
     n = len(scalars)
     with span(f"msm n={n}", category="msm"):
+        mc = active_mesh()
+        if backend in ("auto", "sharded") and mc is not None and mc.can_shard_msm(n):
+            from ..parallel.msm import sharded_msm
+
+            if not isinstance(bases, MSMBases):
+                bases = MSMBases(curve, host_points)
+            return sharded_msm(scalars, bases, mc.mesh, mc.axis)
         if backend == "host" or (backend == "auto" and n < (1 << 12)):
             return msm_host(scalars, host_points[:n], curve)
         if not isinstance(bases, MSMBases):
             bases = MSMBases(curve, host_points)
+        impl = os.environ.get("MSM", "auto")
+        if impl == "pallas":
+            from .msm_pallas import msm_pallas
+
+            return msm_pallas(scalars, bases)
         return msm_jax(scalars, bases)

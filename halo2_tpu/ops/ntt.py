@@ -102,8 +102,21 @@ class NttPlan:
 
 def get_plan(field: Type[FieldElement], log_n: int, omega: int):
     """Runtime-dispatched NTT implementation (reference fft.rs:15-44 env
-    dispatcher; `NTT=jnp|pallas`, default pallas on TPU for log_n >= 10)."""
+    dispatcher; `NTT=jnp|pallas`, default pallas on TPU for log_n >= 10).
+
+    When a `parallel.context` mesh is active and the transform is large
+    enough for the four-step split (n >= D^2), the sharded all-to-all NTT
+    is returned instead - this single dispatch point is what makes every
+    basis change inside `create_proof` mesh-parallel."""
     import os
+
+    from ..parallel.context import active_mesh
+
+    mc = active_mesh()
+    if mc is not None and mc.can_shard_ntt(log_n):
+        from ..parallel.ntt import FourStepNtt
+
+        return FourStepNtt(field, log_n, omega, mc.mesh, mc.axis)
 
     impl = os.environ.get("NTT", "auto")
     if impl == "jnp":

@@ -17,8 +17,17 @@ backend") shards the three hot axes over a `jax.sharding.Mesh`:
     row-sharded extended vectors around the sharded NTTs (`quotient.py`).
 """
 
+from .context import MeshContext, active_mesh, use_mesh
 from .ntt import FourStepNtt, make_mesh
 from .msm import sharded_msm
 from .quotient import ShardedQuotient
 
-__all__ = ["FourStepNtt", "make_mesh", "sharded_msm", "ShardedQuotient"]
+__all__ = [
+    "FourStepNtt",
+    "MeshContext",
+    "ShardedQuotient",
+    "active_mesh",
+    "make_mesh",
+    "sharded_msm",
+    "use_mesh",
+]
