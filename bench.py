@@ -249,8 +249,10 @@ def main():
             continue
         try:
             fn(extras)
-        except Exception as e:  # record, keep benching
-            extras[name] = {"error": f"{type(e).__name__}: {e}"}
+        except Exception as e:  # record, keep benching; TRUNCATE the message
+            # (XLA OOM errors embed multi-MB allocation reports which would
+            # make the output line unparseable - the round-2 failure mode)
+            extras[name] = {"error": f"{type(e).__name__}: {e}"[:400]}
 
     head = None
     for name in ("proof", "msm", "ntt"):

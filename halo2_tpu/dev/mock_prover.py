@@ -296,7 +296,9 @@ class MockProver:
         p = self.p
 
         def lazy_product(a, b):
-            if a[0] == "real" and a[1] == 0:
+            # reference dev.rs Value::mul: Real(0) on EITHER side annihilates
+            # Poison (zeroed selectors/fixed disable gates on poisoned rows)
+            if (a[0] == "real" and a[1] == 0) or (b[0] == "real" and b[1] == 0):
                 return ("real", 0)
             if a[0] == "poison" or b[0] == "poison":
                 return ("poison",)
@@ -314,7 +316,11 @@ class MockProver:
             if a[0] == "poison" or b[0] == "poison"
             else ("real", (a[1] + b[1]) % p),
             product=lazy_product,
-            scaled=lambda a, f: a if a[0] == "poison" else ("real", a[1] * f % p),
+            scaled=lambda a, f: (
+                ("real", 0) if f % p == 0
+                else a if a[0] == "poison"
+                else ("real", a[1] * f % p)
+            ),
         )
 
     def verify(self, vectorized: Optional[bool] = None) -> List[VerifyFailure]:

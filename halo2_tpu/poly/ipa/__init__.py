@@ -519,10 +519,13 @@ def multiopen_verify(params: ParamsIPA, transcript, queries: List[VerifierQuery]
     x_1 = int(transcript.squeeze_challenge())
     x_2 = int(transcript.squeeze_challenge())
 
+    # Key by commitment OBJECT IDENTITY, not value: the reference's
+    # CommitmentReference compares with std::ptr::eq
+    # (ipa/msm.rs / multiopen.rs), so two distinct columns whose contents -
+    # and therefore commitments - are equal must stay separate entries in
+    # the x1-fold to mirror the prover's per-poly fold multiplicities.
     def key_of(qq):
-        if qq.kind == "commitment":
-            return ("c", qq.commitment)
-        return ("m", id(qq.commitment))
+        return ("c" if qq.kind == "commitment" else "m", id(qq.commitment))
 
     commitment_map, point_sets = construct_intermediate_sets(
         queries,
@@ -533,15 +536,15 @@ def multiopen_verify(params: ParamsIPA, transcript, queries: List[VerifierQuery]
 
     q_commitments = [params.empty_msm() for _ in point_sets]
     q_eval_sets = [[0] * len(ps) for ps in point_sets]
-    msm_by_id = {id(qq.commitment): qq.commitment for qq in queries if qq.kind == "msm"}
+    obj_by_id = {id(qq.commitment): qq.commitment for qq in queries}
     for cd in commitment_map:
         si = cd.set_index
         q_commitments[si].scale(x_1)
         kind, ref = cd.commitment
         if kind == "c":
-            q_commitments[si].append_term(1, ref)
+            q_commitments[si].append_term(1, obj_by_id[ref])
         else:
-            q_commitments[si].add_msm(msm_by_id[ref])
+            q_commitments[si].add_msm(obj_by_id[ref])
         for i, ev in enumerate(cd.evals):
             q_eval_sets[si][i] = (q_eval_sets[si][i] * x_1 + ev) % q
 

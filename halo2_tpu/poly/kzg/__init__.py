@@ -481,12 +481,13 @@ def shplonk_verify(params: ParamsKZG, transcript, queries: List[VerifierQuery],
     q = params.curve.SCALAR.MODULUS
     F = params.curve.SCALAR
 
+    # identity-keyed like the reference's CommitmentReference ptr-eq
+    # (kzg/msm.rs): equal-valued commitments from distinct columns must not
+    # collapse, or the y-fold multiplicities diverge from the prover's.
     def key_of(qq):
-        if qq.kind == "commitment":
-            return ("c", qq.commitment)
-        return ("m", id(qq.commitment))
+        return ("c" if qq.kind == "commitment" else "m", id(qq.commitment))
 
-    msm_by_id = {id(qq.commitment): qq.commitment for qq in queries if qq.kind == "msm"}
+    obj_by_id = {id(qq.commitment): qq.commitment for qq in queries}
 
     rotation_sets, super_point_set = construct_intermediate_sets_shplonk(
         queries,
@@ -524,9 +525,9 @@ def shplonk_verify(params: ParamsKZG, transcript, queries: List[VerifierQuery],
             r_inner_acc = (r_inner_acc + power_of_y * eval_polynomial_host(r_x, u, q)) % q
             kind, ref = key
             if kind == "c":
-                inner_msm.append_term(power_of_y, ref)
+                inner_msm.append_term(power_of_y, obj_by_id[ref])
             else:
-                m = msm_by_id[ref].clone()
+                m = obj_by_id[ref].clone()
                 m.scale(power_of_y)
                 inner_msm.add_msm(m)
             power_of_y = power_of_y * y % q
