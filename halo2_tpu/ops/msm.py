@@ -36,7 +36,11 @@ from .limbs import NLIMBS
 
 
 def msm_host(scalars: Sequence[int], points: Sequence[Point], curve: Type[Curve]) -> Point:
-    """Bucket-method MSM over host bigints (reference arithmetic.rs:160-198)."""
+    """Bucket-method MSM over host bigints (reference arithmetic.rs:160-198).
+
+    Dispatches to the native C++ Pippenger (`native/h2native.cpp`) when
+    built; the Python loop below is the spec/oracle (pinned equal in
+    tests/test_native.py)."""
     assert len(scalars) == len(points)
     n = len(scalars)
     if n == 0:
@@ -47,6 +51,12 @@ def msm_host(scalars: Sequence[int], points: Sequence[Point], curve: Type[Curve]
     c = 3 if n < 32 else max(1, (n.bit_length() - 1) // 2 + 1)
     c = min(c, 15)
     nwin = (bits + c - 1) // c
+    if n >= 16:
+        from ..native import native_msm
+
+        jac = native_msm(scalars, points, curve, c, nwin)
+        if jac is not None:
+            return curve.from_jacobian(jac)
     acc = JAC_IDENTITY
     for w in range(nwin - 1, -1, -1):
         for _ in range(c):
@@ -90,17 +100,17 @@ class MSMBases:
             self.pv = self.cc.encode_points(self.host_points)
         return self.pv
 
-    def host_tables(self):
-        """(n+1, L) numpy coordinate tables, row n = identity (for the
-        host-gathered Pallas MSM plan)."""
-        if getattr(self, "_host_tables", None) is None:
-            pv = self.cc.encode_points(self.host_points)
-            idv = self.cc.identity_vec((1,))
-            self._host_tables = tuple(
-                np.concatenate([np.asarray(a), np.asarray(b)])
-                for a, b in ((pv.x, idv.x), (pv.y, idv.y), (pv.z, idv.z))
-            )
-        return self._host_tables
+    def device_tables(self, n_pad: int):
+        """Transposed affine (16, n_pad) coordinate tables for the Pallas
+        MSM kernel, cached per padded size."""
+        cache = getattr(self, "_device_tables", None)
+        if cache is None:
+            cache = self._device_tables = {}
+        if n_pad not in cache:
+            from .msm_pallas import DeviceBases
+
+            cache[n_pad] = DeviceBases(self.curve, self.host_points, n_pad)
+        return cache[n_pad]
 
 
 def _digits(scalars: Sequence[int], c: int, nwin: int) -> np.ndarray:
@@ -214,7 +224,13 @@ def msm_jax(
 
 def fold_window_buckets(window_buckets, curve: Type[Curve], nwin: int, c: int) -> Point:
     """Host tail: per window sum_d d * bucket_d (suffix sums), then Horner
-    over windows (reference arithmetic.rs:119-127)."""
+    over windows (reference arithmetic.rs:119-127). Native C++ when built;
+    the Python loop is the spec."""
+    from ..native import native_bucket_fold
+
+    jac = native_bucket_fold(window_buckets, curve, nwin, c)
+    if jac is not None:
+        return curve.from_jacobian(jac)
     p = curve.p()
     B = 1 << c
     acc = JAC_IDENTITY
@@ -267,7 +283,11 @@ def msm(
         if not isinstance(bases, MSMBases):
             bases = MSMBases(curve, host_points)
         impl = os.environ.get("MSM", "auto")
-        if impl == "pallas":
+        if impl == "jax":
+            return msm_jax(scalars, bases)
+        if impl == "host":
+            return msm_host(scalars, host_points[:n], curve)
+        if impl == "pallas" or (impl == "auto" and jax.default_backend() == "tpu"):
             from .msm_pallas import msm_pallas
 
             return msm_pallas(scalars, bases)

@@ -1,32 +1,48 @@
-"""Pallas bucket-accumulation MSM.
+"""Pallas MSM: VMEM-resident Pippenger buckets, device digits, device fold.
 
-The scan MSM (`msm.py` msm_jax) keeps lane-private buckets and pays a
-T-wide tree reduction plus XLA-level curve arithmetic on (n, 16)-shaped
-tensors whose minor dimension wastes 7/8 of the VPU lanes. This module
-restructures Pippenger for the TPU:
+TPU-native reformulation of the reference's `best_multiexp`
+(`halo2_proofs/src/arithmetic.rs:41-198`). Measured constraints that shape
+the design (tools/microbench.py on TPU v5e):
 
-  * HOST: per window, stable-sort point indices by digit and lay them out
-    as a dense plan IDX[step, window*B + bucket] (sentinel = identity
-    point) - every (window, bucket) pair becomes one LANE, and step t
-    feeds each lane the t-th point of its bucket. No scatters anywhere.
-  * DEVICE: `lax.scan` over steps; each step gathers a (pairs, L) slab of
-    point coordinates and folds it into the per-lane accumulators with a
-    fused Pallas RCB15 complete-addition kernel ((L, W) tiles: limbs on
-    sublanes, bucket-lanes on lanes - the same layout discipline as the
-    fused NTT, reusing its Montgomery limb helpers).
-  * HOST tail: decode nwin*B bucket points, suffix-sum buckets and Horner
-    windows exactly like `msm_host` (reference arithmetic.rs:119-127).
+  * host<->device transfers run at ~0.03 GB/s through the tunnel - nothing
+    per-MSM may cross the host boundary except the ~100-byte window sums,
+    so window digits are computed ON DEVICE from the scalar limb tensor
+    and the bucket fold stays on device;
+  * XLA-level (jnp) limb arithmetic costs ~470 ns per point-add because
+    every Montgomery product materializes HBM temporaries, while fused
+    Pallas limb math runs at ~4 ns per field-mul in VMEM - so the bucket
+    loop must be a Pallas kernel.
 
-Bucket-0 lanes only ever receive the sentinel, matching Pippenger's
-skip-zero-digit convention. Complete addition makes identity handling
-free. Total device work is n*nwin point additions with no cross-lane
-reduction.
+Three stages:
+
+1. **Accumulate kernel** (grid = (M msms, nwin windows, n/T steps)):
+   scratch holds B buckets x (16 limbs, T lanes) per coordinate in VMEM;
+   lane t owns a private bucket column, so the scatter is conflict-free.
+   Each step loads one (16, T) slab of affine base coordinates (shared
+   across windows and msms), extracts the window digit from the canonical
+   scalar limb tile by shift/mask, folds the slab into the selected
+   buckets with a complete mixed addition (RCB15 algorithm 8, a=0, Z2=1),
+   and merges with a vectorized one-hot select over the bucket axis (no
+   data-dependent control flow anywhere). The bucket state is written to
+   HBM on the last step.
+2. **Fold kernel** (grid = (M * nwin,)): run/total suffix sums over the
+   bucket axis via `lax.scan` (sum_b b * bucket_b, reference
+   arithmetic.rs:119-127), leaving T per-lane partial window sums.
+3. **jnp tail**: log-depth lane-tree reduce of the (M*nwin, T) partial
+   points (7 batched XLA point-adds) and a host Horner over windows with
+   c doublings per step, exactly like `msm_host`.
+
+Digit convention matches `ops/msm.py:_digits` (unsigned base-2^c windows
+of the little-endian scalar); bucket 0 is the discard lane, so zero digits
+and padding rows are free. Identity never appears among the bases (URS
+points), and the accumulator identity (0:1:0) flows through the complete
+formulas.
 """
 
 from __future__ import annotations
 
 from functools import lru_cache
-from typing import Sequence, Type
+from typing import List, Sequence, Type
 
 import jax
 import jax.numpy as jnp
@@ -34,18 +50,62 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..curves import Curve, Point
-from .curve_jax import CurveCtx, PointVec
+from ..curves import JAC_IDENTITY, Curve, Point, jac_add, jac_double
+from .curve_jax import CurveCtx, PointVec, padd
+from .field_jax import FieldCtx, from_mont
 from .limbs import NLIMBS
-from .msm import MSMBases, _digits
 from .ntt_pallas import _add_mod, _mont_mul, _sub_mod
 
 U32 = jnp.uint32
 LANES = 128
 
 
-def _padd_tile(a, b, nprime, plimbs, twop, b3):
-    """RCB15 Algorithm 7 (a=0 curves) on (L, W) limb tiles; 12M."""
+def _mixed_padd(a, bxy, nprime, plimbs, twop, b3):
+    """Complete mixed addition (RCB15 Algorithm 8, a=0, Z2=1) on (16, T)
+    limb tiles; 13 Montgomery products. `a` projective, `bxy` affine."""
+    X1, Y1, Z1 = a
+    X2, Y2 = bxy
+
+    def mul(x, y):
+        return _mont_mul(x, y, nprime, plimbs)
+
+    def add(x, y):
+        return _add_mod(x, y, twop)
+
+    def sub(x, y):
+        return _sub_mod(x, y, twop)
+
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t3 = add(X2, Y2)
+    t4 = add(X1, Y1)
+    t3 = mul(t3, t4)
+    t4 = add(t0, t1)
+    t3 = sub(t3, t4)          # X1*Y2 + X2*Y1
+    t4 = mul(Y2, Z1)
+    t4 = add(t4, Y1)          # Y1 + Y2*Z1
+    Y3 = mul(X2, Z1)
+    Y3 = add(Y3, X1)          # X1 + X2*Z1
+    X3 = add(t0, t0)
+    t0 = add(X3, t0)          # 3*X1*X2
+    t2 = mul(b3, Z1)          # 3b*Z1
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = mul(b3, Y3)
+    X3 = mul(t4, Y3)
+    t2 = mul(t3, t1)
+    X3 = sub(t2, X3)
+    Y3 = mul(Y3, t0)
+    t1 = mul(t1, Z3)
+    Y3 = add(t1, Y3)
+    t0 = mul(t0, t3)
+    Z3 = mul(Z3, t4)
+    Z3 = add(Z3, t0)
+    return X3, Y3, Z3
+
+
+def _full_padd(a, b, nprime, plimbs, twop, b3):
+    """Complete projective addition (RCB15 Algorithm 7, a=0); 14M."""
     X1, Y1, Z1 = a
     X2, Y2, Z2 = b
 
@@ -94,143 +154,280 @@ def _padd_tile(a, b, nprime, plimbs, twop, b3):
     return X3, Y3, Z3
 
 
-MACRO_STEPS = 64  # step quantum (keeps compile geometry stable)
-PAIR_LANES = 8192  # bucket-lanes per kernel block
+def _consts5(curve: Type[Curve]) -> jnp.ndarray:
+    cc = CurveCtx(curve)
+    fctx = cc.fctx
+    return jnp.stack(
+        [fctx.nprime_limbs, fctx.p_limbs, fctx.twop_limbs,
+         jnp.asarray(np.asarray(cc.b3)), fctx.r_limbs]
+    )
 
 
 @lru_cache(maxsize=None)
-def _msm_pallas_fn(curve: Type[Curve], pairs: int, steps: int, interpret: bool):
-    """One pallas grid (pairs//W, steps): the j-axis picks a lane block,
-    the s-axis streams the gathered point slabs through VMEM while the
-    revisited output block holds the running accumulator. XLA gathers are
-    pathologically slow on TPU, so the slabs arrive pre-gathered (host
-    numpy fancy indexing); the (steps, pairs, L) -> (steps, L, pairs)
-    transpose runs on device."""
-    cc = CurveCtx(curve)
-    consts = jnp.stack(
-        [cc.fctx.nprime_limbs, cc.fctx.p_limbs, cc.fctx.twop_limbs, cc.b3]
-    )
-    W = min(PAIR_LANES, pairs)
-    L = NLIMBS
+def _accum_fn(curve: Type[Curve], M: int, n_pad: int, T: int, c: int,
+              nwin: int, interpret: bool):
+    B = 1 << c
+    steps = n_pad // T
+    digs_per_limb = 16 // c  # digits carried by one 16-bit limb (4 or 2)
+    consts = _consts5(curve)
 
-    def kernel(ax, ay, az, px, py, pz, c_ref, ox, oy, oz):
-        s = pl.program_id(1)
-        nprime = c_ref[0][:, None]
-        plimbs = c_ref[1][:, None]
-        twop = c_ref[2][:, None]
-        b3 = c_ref[3][:, None]
+    def kernel(sref, pxref, pyref, cref, ox, oy, oz):
+        # the revisited (B, 16, T) output blocks ARE the bucket state: they
+        # stay VMEM-resident across the step axis and flush to HBM once per
+        # (m, w) when the block index changes
+        w = pl.program_id(1)
+        s = pl.program_id(2)
+        nprime = cref[0][:, None]
+        plimbs = cref[1][:, None]
+        twop = cref[2][:, None]
+        b3 = cref[3][:, None]
+        onem_col = cref[4][:, None]
 
         @pl.when(s == 0)
         def _init():
-            ox[:] = ax[:]
-            oy[:] = ay[:]
-            oz[:] = az[:]
+            ox[:] = jnp.zeros((B, NLIMBS, T), U32)
+            oy[:] = jnp.broadcast_to(onem_col[None], (B, NLIMBS, T))
+            oz[:] = jnp.zeros((B, NLIMBS, T), U32)
 
-        X3, Y3, Z3 = _padd_tile(
-            (ox[:], oy[:], oz[:]),
-            (px[0], py[0], pz[0]),
-            nprime, plimbs, twop, b3,
+        # window digit: limb w // digs_per_limb of the canonical scalar
+        # holds this window's digit at bit offset c * (w % digs_per_limb)
+        lw = w // digs_per_limb
+        row = sref[0, pl.ds(lw, 1), :][0]  # (T,) u32
+        shift = ((w % digs_per_limb) * c).astype(U32)
+        dg = (row >> shift) & U32(B - 1)  # (T,)
+
+        # one-hot bucket select: every lane matches exactly one bucket row
+        # (digit 0 -> discard row 0)
+        iota = jax.lax.broadcasted_iota(U32, (B, 1, T), 0)
+        mask = iota == dg[None, None, :]
+
+        def sel(ref):  # limb values < 2^16: exact in an int32 masked sum
+            v = jnp.where(mask, ref[:].astype(jnp.int32), 0)
+            return jnp.sum(v, axis=0).astype(U32)
+
+        cur = (sel(ox), sel(oy), sel(oz))
+        X3, Y3, Z3 = _mixed_padd(
+            cur, (pxref[:], pyref[:]), nprime, plimbs, twop, b3
         )
-        ox[:] = X3
-        oy[:] = Y3
-        oz[:] = Z3
+        ox[:] = jnp.where(mask, X3[None], ox[:])
+        oy[:] = jnp.where(mask, Y3[None], oy[:])
+        oz[:] = jnp.where(mask, Z3[None], oz[:])
 
-    acc_spec = pl.BlockSpec((L, W), lambda j, s: (0, j), memory_space=pltpu.VMEM)
-    pts_spec = pl.BlockSpec(
-        (1, L, W), lambda j, s: (s, 0, j), memory_space=pltpu.VMEM
+    sspec = pl.BlockSpec(
+        (1, NLIMBS, T), lambda m, w, s: (m, 0, s), memory_space=pltpu.VMEM
     )
-    cspec = pl.BlockSpec((4, NLIMBS), lambda j, s: (0, 0), memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((NLIMBS, T), lambda m, w, s: (0, s), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((5, NLIMBS), lambda m, w, s: (0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec(
+        (B, NLIMBS, T), lambda m, w, s, _nw=nwin: (m * _nw + w, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
 
-    def run(gx, gy, gz):
-        """gx/gy/gz: (steps, pairs, L) pre-gathered coordinate slabs."""
-        idv = cc.identity_vec((pairs,))
-        acc = (idv.x.T, idv.y.T, idv.z.T)  # (L, pairs)
-        pts = tuple(g.transpose(0, 2, 1) for g in (gx, gy, gz))
+    def run(scal_limbs, px, py):
+        """scal_limbs (M, 16, n_pad) u32 canonical; px/py (16, n_pad)."""
+        out_shape = tuple(
+            jax.ShapeDtypeStruct((M * nwin * B, NLIMBS, T), U32)
+            for _ in range(3)
+        )
         return pl.pallas_call(
             kernel,
-            grid=(pairs // W, steps),
-            in_specs=[acc_spec] * 3 + [pts_spec] * 3 + [cspec],
-            out_specs=(acc_spec, acc_spec, acc_spec),
-            out_shape=tuple(
-                jax.ShapeDtypeStruct((L, pairs), U32) for _ in range(3)
-            ),
+            grid=(M, nwin, steps),
+            in_specs=[sspec, pspec, pspec, cspec],
+            out_specs=(ospec, ospec, ospec),
+            out_shape=out_shape,
             interpret=interpret,
             compiler_params=None
             if interpret
             else pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024,
-                dimension_semantics=("arbitrary", "arbitrary"),
+                dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             ),
-        )(*acc, *pts, consts)
+        )(scal_limbs, px, py, consts)
 
     return jax.jit(run)
 
 
-def _index_plan(dg: np.ndarray, nwin: int, B: int, n: int) -> np.ndarray:
-    """(steps, nwin*B) int32 plan; sentinel index n for empty slots.
-    Lane w*B + b accumulates the points whose window-w digit equals b
-    (b = 0 lanes stay identity)."""
-    cols = []
-    max_count = 1
-    per_wb = {}
-    for w in range(nwin):
-        d = dg[:, w]
-        order = np.argsort(d, kind="stable")
-        sorted_d = d[order]
-        # bucket boundaries
-        starts = np.searchsorted(sorted_d, np.arange(B), side="left")
-        ends = np.searchsorted(sorted_d, np.arange(B), side="right")
-        for b in range(1, B):
-            cnt = ends[b] - starts[b]
-            if cnt > max_count:
-                max_count = cnt
-            per_wb[(w, b)] = order[starts[b]:ends[b]]
-    # pad steps to a coarse quantum so the scan length (and hence the
-    # compiled executable) is stable across scalar sets
-    max_count = int(max_count)
-    quantum = max(MACRO_STEPS, 1 << max(0, (max_count - 1).bit_length() - 2))
-    steps = ((max_count + quantum - 1) // quantum) * quantum
-    plan = np.full((steps, nwin * B), n, dtype=np.int32)
-    for (w, b), idxs in per_wb.items():
-        plan[: len(idxs), w * B + b] = idxs
-    return plan
+@lru_cache(maxsize=None)
+def _fold_fn(curve: Type[Curve], rows: int, B: int, T: int, interpret: bool):
+    """Per (msm, window) bucket fold: run/total suffix sums over the bucket
+    axis (lax.scan, buckets B-1 .. 1), leaving T per-lane partials."""
+    consts = _consts5(curve)
+
+    def kernel(bxr, byr, bzr, cref, ox, oy, oz):
+        nprime = cref[0][:, None]
+        plimbs = cref[1][:, None]
+        twop = cref[2][:, None]
+        b3 = cref[3][:, None]
+        onem_col = cref[4][:, None]
+        idx = jnp.zeros((NLIMBS, T), U32)
+        idy = jnp.broadcast_to(onem_col, (NLIMBS, T))
+        idz = jnp.zeros((NLIMBS, T), U32)
+
+        # buckets B-1 down to 1 (row 0 is the discard lane); Mosaic has no
+        # extensive-input scan, so fori with dynamic ref reads
+        def body(i, carry):
+            rx, ry, rz, tx, ty, tz = carry
+            b = B - 1 - i
+            bpt = (
+                bxr[pl.ds(b, 1)][0],
+                byr[pl.ds(b, 1)][0],
+                bzr[pl.ds(b, 1)][0],
+            )
+            rx, ry, rz = _full_padd(
+                (rx, ry, rz), bpt, nprime, plimbs, twop, b3
+            )
+            tx, ty, tz = _full_padd(
+                (tx, ty, tz), (rx, ry, rz), nprime, plimbs, twop, b3
+            )
+            return rx, ry, rz, tx, ty, tz
+
+        carry = jax.lax.fori_loop(
+            0, B - 1, body, (idx, idy, idz, idx, idy, idz)
+        )
+        ox[:] = carry[3][None]
+        oy[:] = carry[4][None]
+        oz[:] = carry[5][None]
+
+    bspec = pl.BlockSpec(
+        (B, NLIMBS, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    cspec = pl.BlockSpec((5, NLIMBS), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, NLIMBS, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def run(bx, by, bz):
+        """bx/by/bz (rows * B, 16, T) -> (rows, 16, T) window partials."""
+        out_shape = tuple(
+            jax.ShapeDtypeStruct((rows, NLIMBS, T), U32) for _ in range(3)
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(rows,),
+            in_specs=[bspec, bspec, bspec, cspec],
+            out_specs=(ospec, ospec, ospec),
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=None
+            if interpret
+            else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("arbitrary",),
+            ),
+        )(bx, by, bz, consts)
+
+    return jax.jit(run)
 
 
-def msm_pallas(
-    scalars: Sequence[int],
-    bases: MSMBases,
-    c: int = None,
+@lru_cache(maxsize=None)
+def _lane_reduce_fn(curve: Type[Curve], rows: int, T: int):
+    """(rows, 16, T) per-lane partial points -> (rows, 16) via log-depth
+    batched jnp point-adds (7 fused XLA ops for T=128)."""
+    cc = CurveCtx(curve)
+
+    def run(x, y, z):
+        pv = PointVec(
+            jnp.transpose(x, (0, 2, 1)),
+            jnp.transpose(y, (0, 2, 1)),
+            jnp.transpose(z, (0, 2, 1)),
+        )  # (rows, T, 16)
+        t = T
+        while t > 1:
+            half = t // 2
+            a = PointVec(pv.x[:, :half], pv.y[:, :half], pv.z[:, :half])
+            b = PointVec(pv.x[:, half:t], pv.y[:, half:t], pv.z[:, half:t])
+            pv = padd(a, b, cc)
+            t = half
+        return pv.x[:, 0], pv.y[:, 0], pv.z[:, 0]
+
+    return jax.jit(run)
+
+
+def _msm_geometry(curve: Type[Curve], n: int):
+    bits = curve.SCALAR.MODULUS.bit_length()
+    c = 8 if n >= (1 << 15) else 4
+    nwin = (bits + c - 1) // c
+    T = LANES
+    n_pad = ((n + T - 1) // T) * T
+    return c, nwin, T, n_pad
+
+
+class DeviceBases:
+    """Transposed affine coordinate tables for the Pallas MSM, padded to a
+    lane multiple and cached on the owning MSMBases."""
+
+    def __init__(self, curve: Type[Curve], points: Sequence[Point], n_pad: int):
+        assert len(points) <= n_pad
+        self.curve = curve
+        self.n = len(points)
+        self.n_pad = n_pad
+        cc = CurveCtx(curve)
+        p = curve.p()
+        r = cc.fctx.r_int
+        g = curve.generator().xy
+        xs, ys = [], []
+        for pt in points:
+            assert not pt.is_identity(), "device MSM bases must be affine"
+            xs.append(pt.xy[0] * r % p)
+            ys.append(pt.xy[1] * r % p)
+        pad = n_pad - len(points)
+        xs.extend([g[0] * r % p] * pad)
+        ys.extend([g[1] * r % p] * pad)
+        from .limbs import ints_to_limbs
+
+        self.px = jnp.asarray(ints_to_limbs(xs)).T.copy()  # (16, n_pad)
+        self.py = jnp.asarray(ints_to_limbs(ys)).T.copy()
+
+
+def msm_pallas_many(
+    scal: jnp.ndarray,
+    bases,
     interpret: bool = None,
-) -> Point:
-    """Digit-sorted Pallas MSM; exact same result as msm_host."""
+    mont: bool = True,
+) -> List[Point]:
+    """M MSMs over shared bases: scal (M, n, 16) device limb tensors
+    (Montgomery when mont=True, canonical [0, p) otherwise) -> M Points.
+    Exact same group elements as msm_host."""
     curve = bases.curve
-    n = len(scalars)
-    assert n <= bases.n
-    if c is None:
-        # pairs = nwin * 2^c lanes; keep mean bucket occupancy >= ~4 so the
-        # dense plan's padding overhead stays small
-        c = 8 if n >= (1 << 15) else 4
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    bits = curve.SCALAR.MODULUS.bit_length()
-    nwin = (bits + c - 1) // c
+    M, n, _ = scal.shape
+    c, nwin, T, n_pad = _msm_geometry(curve, n)
     B = 1 << c
-    dg = _digits(scalars, c, nwin)
-    plan = _index_plan(dg, nwin, B, n)
-    steps, pairs = plan.shape
+    db = bases.device_tables(n_pad)
+
+    sctx = FieldCtx(curve.SCALAR)
+    canon = from_mont(scal, sctx) if mont else scal  # (M, n, 16) in [0, p)
+    canon = jnp.transpose(canon, (0, 2, 1))
+    if n_pad != n:
+        canon = jnp.pad(canon, [(0, 0), (0, 0), (0, n_pad - n)])
+
+    bx, by, bz = _accum_fn(curve, M, n_pad, T, c, nwin, interpret)(
+        canon, db.px, db.py
+    )
+    fx, fy, fz = _fold_fn(curve, M * nwin, B, T, interpret)(bx, by, bz)
+    rx, ry, rz = _lane_reduce_fn(curve, M * nwin, T)(fx, fy, fz)
 
     cc = bases.cc
-    tx, ty, tz = bases.host_tables()
+    wins = cc.decode_points(PointVec(rx, ry, rz))  # M * nwin window sums
 
-    # host gather (numpy fancy indexing; XLA gathers on TPU are ~3us/row)
-    gx = tx[plan]
-    gy = ty[plan]
-    gz = tz[plan]
+    p = curve.p()
+    out = []
+    for m in range(M):
+        acc = JAC_IDENTITY
+        for w in range(nwin - 1, -1, -1):
+            for _ in range(c):
+                acc = jac_double(acc, p)
+            acc = jac_add(acc, wins[m * nwin + w].jacobian(), p)
+        out.append(curve.from_jacobian(acc))
+    return out
 
-    fn = _msm_pallas_fn(curve, pairs, steps, interpret)
-    ax, ay, az = fn(jnp.asarray(gx), jnp.asarray(gy), jnp.asarray(gz))
 
-    buckets = cc.decode_points(PointVec(ax.T, ay.T, az.T))  # nwin*B points
-    from .msm import fold_window_buckets
+def msm_pallas(scalars, bases, interpret: bool = None) -> Point:
+    """Single MSM; `scalars` is a host int sequence or an (n, 16) Montgomery
+    limb tensor already on device."""
+    if isinstance(scalars, jnp.ndarray):
+        return msm_pallas_many(scalars[None], bases, interpret=interpret)[0]
+    from .limbs import ints_to_limbs
 
-    return fold_window_buckets(buckets, curve, nwin, c)
+    q = bases.curve.SCALAR.MODULUS
+    canon = jnp.asarray(ints_to_limbs([int(s) % q for s in scalars]))
+    return msm_pallas_many(canon[None], bases, interpret=interpret, mont=False)[0]

@@ -178,14 +178,25 @@ def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[Li
             )
             # blinding rows + blinds
             blinds = []
-            commitments = []
             for col in cols:
                 for row in range(unusable_rows_start, n):
                     col[row] = F.random(rng).v
             for col in cols:
-                blind = Blind(F.random(rng).v)
-                blinds.append(blind)
-                commitments.append(params.commit_lagrange(col, blind))
+                blinds.append(Blind(F.random(rng).v))
+            if cols and hasattr(params, "commit_many"):
+                # ONE batched device MSM launch for the whole phase
+                import jax.numpy as jnp
+                import numpy as np
+
+                from ..ops.limbs import ints_to_limbs
+
+                canon = jnp.asarray(np.stack([ints_to_limbs(col) for col in cols]))
+                commitments = params.commit_many(canon, blinds, lagrange=True, mont=False)
+            else:
+                commitments = [
+                    params.commit_lagrange(col, blind)
+                    for col, blind in zip(cols, blinds)
+                ]
             for c in commitments:
                 transcript.write_point(c)
             for idx, col, blind in zip(column_indices, cols, blinds):

@@ -129,6 +129,49 @@ class ParamsIPA:
         scalars = list(values) + [blind.value % self.curve.SCALAR.MODULUS]
         return msm(scalars, self._bases_lagrange, self.curve)
 
+    def commit_many(self, stacks, blinds: Sequence[Blind], lagrange: bool,
+                    mont: bool = True) -> List[Point]:
+        """Batched commits from device-resident columns: `stacks` is an
+        (M, n, 16) limb tensor (Montgomery when mont=True, canonical
+        otherwise) or a list of FVec/(n, 16) tensors; one Pallas MSM launch
+        computes all M commitments. Group elements are identical to
+        commit/commit_lagrange."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ...ops.field_jax import FieldCtx
+        from ...ops.limbs import int_to_limbs, limbs_to_ints
+
+        if not isinstance(stacks, jnp.ndarray):
+            stacks = jnp.stack([getattr(s, "vals", s) for s in stacks])
+        M, n, _ = stacks.shape
+        q = self.curve.SCALAR.MODULUS
+        sctx = FieldCtx(self.curve.SCALAR)
+        bmul = sctx.r_int if mont else 1
+        blind_rows = jnp.asarray(
+            np.stack(
+                [int_to_limbs((b.value % q) * bmul % q) for b in blinds]
+            )
+        )[:, None, :]
+        scal = jnp.concatenate([stacks, blind_rows], axis=1)  # (M, n+1, 16)
+        bases = self._bases_lagrange if lagrange else self._bases_g
+        if jax.default_backend() == "tpu":
+            from ...ops.msm_pallas import msm_pallas_many
+
+            return msm_pallas_many(scal, bases, mont=mont)
+        # CPU fall-back: decode once, host MSM per column
+        flat = scal.reshape(M * (n + 1), -1)
+        if mont:
+            decoded = sctx.decode_ints(flat)
+        else:
+            decoded = limbs_to_ints(np.asarray(jax.device_get(flat)))
+        out = []
+        for m in range(M):
+            sc = decoded[m * (n + 1) : (m + 1) * (n + 1)]
+            out.append(msm(sc, bases, self.curve))
+        return out
+
     def commit(self, coeffs: Sequence[int], blind: Blind) -> Point:
         scalars = list(coeffs) + [blind.value % self.curve.SCALAR.MODULUS]
         return msm(scalars, self._bases_g, self.curve)
@@ -289,59 +332,89 @@ class MSMIPA:
 
 
 def ipa_commit_open(params: ParamsIPA, rng, transcript, p_poly: List[int], p_blind: Blind, x_3: int):
-    """The k-round inner product opening (commitment/prover.rs:29-153)."""
+    """The k-round inner product opening (commitment/prover.rs:29-153).
+
+    TPU-native fold: the reference folds g in place each round
+    (g' = g_lo + u_j * g_hi, commitment/prover.rs:119-152) - n host
+    scalar-muls of points in round 1 alone. Instead g is NEVER folded:
+    after r rounds g'[i] = (prod of the u_t selected by i's high bits) *
+    g[i] (the compute_s structure, commitment/verifier.rs), so each
+    round's L/R is one MSM over the ORIGINAL static bases with
+    coefficient-product scalars - one batched 2-MSM device launch per
+    round. All vector folds (p', b, s_mult, inner products) are device
+    limb ops; only challenges, blinds, and the ~100-byte L/R points cross
+    the host boundary. Identical group elements -> identical proof bytes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ...ops.field_jax import FieldCtx, add_mod, mont_mul, select
+    from ...ops.limbs import NLIMBS as NLIMBS_IPA, ints_to_limbs
+    from ...ops.polyeval import _tree_sum, batch_eval_mont, device_powers
+
     q = params.curve.SCALAR.MODULUS
     F = params.curve.SCALAR
     n = params.n
     assert len(p_poly) == n
+    ctx = FieldCtx(F)
 
     s_poly = [F.random(rng).v for _ in range(n)]
-    s_at_x3 = eval_polynomial_host(s_poly, x_3, q)
-    s_poly[0] = (s_poly[0] - s_at_x3) % q
     s_poly_blind = F.random(rng).v
+
+    spm = ctx.to_mont(jnp.asarray(ints_to_limbs(s_poly)))
+    s_at_x3 = ctx.decode_ints(batch_eval_mont(F, spm[None], [x_3]))[0]
+    s_poly[0] = (s_poly[0] - s_at_x3) % q
+    spm = spm.at[0].set(ctx.const(s_poly[0]))
     s_commitment = params.commit(s_poly, Blind(s_poly_blind))
     transcript.write_point(s_commitment)
 
     xi = int(transcript.squeeze_challenge())
     z = int(transcript.squeeze_challenge())
 
-    p_prime = [(s * xi + c) % q for s, c in zip(s_poly, p_poly)]
-    v = eval_polynomial_host(p_prime, x_3, q)
-    p_prime[0] = (p_prime[0] - v) % q
+    # p' = xi * s + p, then force p'(x_3) = 0 on the constant term
+    ppm = ctx.to_mont(jnp.asarray(ints_to_limbs([v % q for v in p_poly])))
+    pprime = add_mod(mont_mul(spm, jnp.broadcast_to(ctx.const(xi), spm.shape), ctx), ppm, ctx)
+    v0, p0 = ctx.decode_ints(
+        jnp.concatenate([batch_eval_mont(F, pprime[None], [x_3]), pprime[:1]])
+    )
+    pprime = pprime.at[0].set(ctx.const((p0 - v0) % q))
     f = (s_poly_blind * xi + p_blind.value) % q
 
-    b = []
-    cur = 1
-    for _ in range(n):
-        b.append(cur)
-        cur = cur * x_3 % q
+    b = device_powers(ctx.const(x_3), n, ctx)  # (n, 16) Montgomery
+    s_mult = jnp.broadcast_to(ctx.one, (n, NLIMBS_IPA))  # prod of folded u_t
+    lane = jnp.arange(n, dtype=jnp.uint32)
 
-    # TPU-native fold: the reference folds g in place each round
-    # (g' = g_lo + u_j * g_hi, commitment/prover.rs:119-152) - n host
-    # scalar-muls of points in round 1 alone. Instead g is NEVER folded:
-    # after r rounds g'[i] = sum over high-bit patterns of
-    # (prod selected u_t) * g[j] (the compute_s structure,
-    # commitment/verifier.rs compute_s), so each round's L/R is one MSM
-    # over the ORIGINAL static bases with coefficient-product scalars -
-    # device-resident bases, device Pippenger, mesh-sharded when a
-    # parallel.context mesh is active. Identical group elements, so
-    # identical proof bytes.
-    s_mult = [1] * n  # prod of u_t for the high bits folded so far
+    use_pallas = jax.default_backend() == "tpu"
     m = n
     for _ in range(params.k):
         half = m // 2
-        w_l = [0] * n
-        w_r = [0] * n
-        for j in range(n):
-            i = j & (m - 1)
-            if i < half:
-                w_l[j] = s_mult[j] * p_prime[i + half] % q
-            else:
-                w_r[j] = s_mult[j] * p_prime[i - half] % q
-        l_j = msm(w_l, params._bases_g, params.curve)
-        r_j = msm(w_r, params._bases_g, params.curve)
-        value_l = compute_inner_product(p_prime[half:], b[:half], q)
-        value_r = compute_inner_product(p_prime[:half], b[half:], q)
+        blocks = n // m
+        smv = s_mult.reshape(blocks, m, NLIMBS_IPA)
+        pp_hi = pprime[half:m]
+        pp_lo = pprime[:half]
+        wl = mont_mul(smv[:, :half], pp_hi[None], ctx)
+        wr = mont_mul(smv[:, half:], pp_lo[None], ctx)
+        zeros = jnp.zeros_like(wl)
+        w_l = jnp.concatenate([wl, zeros], axis=1).reshape(n, NLIMBS_IPA)
+        w_r = jnp.concatenate([zeros, wr], axis=1).reshape(n, NLIMBS_IPA)
+        # inner products <p'_hi, b_lo> and <p'_lo, b_hi> (Montgomery-exact)
+        iv = _tree_sum(
+            jnp.stack([
+                mont_mul(pp_hi, b[:half], ctx),
+                mont_mul(pp_lo, b[half:m], ctx),
+            ]),
+            ctx,
+            axis=1,
+        )
+        if use_pallas:
+            from ...ops.msm_pallas import msm_pallas_many
+
+            l_j, r_j = msm_pallas_many(jnp.stack([w_l, w_r]), params._bases_g)
+        else:
+            both = ctx.decode_ints(jnp.concatenate([w_l, w_r]))
+            l_j = msm(both[:n], params._bases_g, params.curve)
+            r_j = msm(both[n:], params._bases_g, params.curve)
+        value_l, value_r = ctx.decode_ints(iv)
         l_rand = F.random(rng).v
         r_rand = F.random(rng).v
         l_j = l_j + params.u.mul(value_l * z % q) + params.w.mul(l_rand)
@@ -351,15 +424,17 @@ def ipa_commit_open(params: ParamsIPA, rng, transcript, p_poly: List[int], p_bli
 
         u_j = int(transcript.squeeze_challenge())
         u_j_inv = pow(u_j, -1, q)
-        p_prime = [(p_prime[i] + p_prime[i + half] * u_j_inv) % q for i in range(half)]
-        b = [(b[i] + b[i + half] * u_j) % q for i in range(half)]
-        for j in range(n):
-            if j & half:
-                s_mult[j] = s_mult[j] * u_j % q
+        um = ctx.const(u_j)
+        uim = ctx.const(u_j_inv)
+        pprime = add_mod(pp_lo, mont_mul(pp_hi, jnp.broadcast_to(uim, pp_hi.shape), ctx), ctx)
+        b = add_mod(b[:half], mont_mul(b[half:m], jnp.broadcast_to(um, (m - half, NLIMBS_IPA)), ctx), ctx)
+        hot = (lane & jnp.uint32(half)) != 0
+        s_mult = select(hot, mont_mul(s_mult, jnp.broadcast_to(um, s_mult.shape), ctx), s_mult)
         f = (f + l_rand * u_j_inv + r_rand * u_j) % q
         m = half
 
-    transcript.write_scalar(params.curve.SCALAR(p_prime[0]))
+    c0 = ctx.decode_ints(pprime[:1])[0]
+    transcript.write_scalar(params.curve.SCALAR(c0))
     transcript.write_scalar(params.curve.SCALAR(f))
 
 
