@@ -355,7 +355,11 @@ class DeviceBases:
     lane multiple and cached on the owning MSMBases."""
 
     def __init__(self, curve: Type[Curve], points: Sequence[Point], n_pad: int):
-        assert len(points) <= n_pad
+        # An MSM over n scalars uses the first n bases (reference
+        # best_multiexp zips scalars with bases); extra basis points are
+        # dropped and missing lanes are padded with the generator, whose
+        # zero digits land in the discard bucket.
+        points = list(points)[:n_pad]
         self.curve = curve
         self.n = len(points)
         self.n_pad = n_pad
