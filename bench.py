@@ -25,11 +25,18 @@ MSM bucket scan are bandwidth-bound at the (n,16)-uint32 limb layout):
 
 Sections and knobs: BENCH=ntt,msm,proof  BENCH_K (NTT size, default 20)
 BENCH_MSM_K (default 20)  BENCH_PROOF_K (default 14)  BENCH_BUDGET_S
-(default 3000: later sections are skipped when the budget is spent).
+(default 450: later sections are skipped when the budget is spent).
+
+Output protocol (criterion-style always-report, reference
+halo2_proofs/benches/plonk.rs:265-302): a complete JSON line is printed
+and flushed after EVERY section, each line superseding the previous, so
+whatever the driver's timeout leaves on stdout is a parseable record of
+everything that finished. SIGTERM/SIGINT also flush the current line.
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -64,7 +71,32 @@ MSM_ANCHOR = 1.5e6  # points/s, Rust best_multiexp class, 2^20
 PROOF_ANCHOR_S = 30.0  # seconds, Rust IPA prover class, k=14
 
 T0 = time.time()
-BUDGET = float(os.environ.get("BENCH_BUDGET_S", "3000"))
+BUDGET = float(os.environ.get("BENCH_BUDGET_S", "450"))
+
+
+def emit(extras) -> None:
+    """Print one complete JSON line for the current state and flush.
+
+    Called after every section (and from the SIGTERM handler): the LAST
+    line on stdout is always a full record of everything measured so far.
+    """
+    head = None
+    for name in ("proof", "msm", "ntt"):
+        sec = extras.get(name)
+        if sec and "value" in sec:
+            head = sec
+            break
+    if head is None:
+        head = {"metric": "bench_incomplete", "value": 0, "unit": "n/a",
+                "vs_baseline": 0}
+    line = {
+        "metric": head["metric"],
+        "value": head["value"],
+        "unit": head["unit"],
+        "vs_baseline": head["vs_baseline"],
+        "extras": extras,
+    }
+    print(json.dumps(line), flush=True)
 
 
 def _bw() -> float:
@@ -256,35 +288,34 @@ def bench_proof(extras):
 def main():
     sections = os.environ.get("BENCH", "ntt,msm,proof").split(",")
     extras = {}
+
+    def _on_term(signum, frame):  # emit whatever finished, then exit
+        extras["terminated"] = {"signal": int(signum),
+                                "elapsed_s": round(time.time() - T0, 1)}
+        emit(extras)
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _on_term)
+
+    emit(extras)  # a parseable line exists even if the first compile hangs
     for name, fn in (("ntt", bench_ntt), ("msm", bench_msm), ("proof", bench_proof)):
         if name not in sections:
             continue
         if time.time() - T0 > BUDGET:
             extras[name] = {"skipped": f"budget {BUDGET}s spent"}
+            emit(extras)
             continue
+        t_sec = time.time()
         try:
             fn(extras)
+            extras[name]["section_wall_s"] = round(time.time() - t_sec, 1)
         except Exception as e:  # record, keep benching; TRUNCATE the message
             # (XLA OOM errors embed multi-MB allocation reports which would
             # make the output line unparseable - the round-2 failure mode)
-            extras[name] = {"error": f"{type(e).__name__}: {e}"[:400]}
-
-    head = None
-    for name in ("proof", "msm", "ntt"):
-        sec = extras.get(name)
-        if sec and "value" in sec:
-            head = sec
-            break
-    if head is None:
-        head = {"metric": "bench_failed", "value": 0, "unit": "n/a", "vs_baseline": 0}
-    line = {
-        "metric": head["metric"],
-        "value": head["value"],
-        "unit": head["unit"],
-        "vs_baseline": head["vs_baseline"],
-        "extras": extras,
-    }
-    print(json.dumps(line))
+            extras[name] = {"error": f"{type(e).__name__}: {e}"[:400],
+                            "section_wall_s": round(time.time() - t_sec, 1)}
+        emit(extras)
 
 
 if __name__ == "__main__":
