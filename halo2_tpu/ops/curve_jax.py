@@ -71,16 +71,24 @@ class CurveCtx:
         )
 
     def decode_points(self, pv: PointVec) -> list:
-        """Projective device batch -> affine host points."""
+        """Projective device batch -> affine host points.
+
+        Device->host readback through the tunnel costs ~175 ms latency per
+        call regardless of size (tools/profile_kernels.py), so everything
+        (x, y, z-is-zero flag) is packed into ONE buffer and fetched with a
+        single device_get."""
         zinv = inv_mod(pv.z, self.fctx)
-        xa = from_mont(mont_mul(pv.x, zinv, self.fctx), self.fctx)
-        ya = from_mont(mont_mul(pv.y, zinv, self.fctx), self.fctx)
-        zzero = np.asarray(jax.device_get(is_zero(pv.z, self.fctx)))
-        xs = limbs_to_ints(np.asarray(jax.device_get(xa)).reshape(-1, NLIMBS))
-        ys = limbs_to_ints(np.asarray(jax.device_get(ya)).reshape(-1, NLIMBS))
+        xa = from_mont(mont_mul(pv.x, zinv, self.fctx), self.fctx).reshape(-1, NLIMBS)
+        ya = from_mont(mont_mul(pv.y, zinv, self.fctx), self.fctx).reshape(-1, NLIMBS)
+        zz = is_zero(pv.z, self.fctx).reshape(-1, 1).astype(jnp.uint32)
+        packed = jnp.concatenate([xa, ya, zz], axis=1)  # (R, 33)
+        host = np.ascontiguousarray(np.asarray(jax.device_get(packed)))
+        xs = limbs_to_ints(np.ascontiguousarray(host[:, :NLIMBS]))
+        ys = limbs_to_ints(np.ascontiguousarray(host[:, NLIMBS : 2 * NLIMBS]))
+        zzero = host[:, 2 * NLIMBS]
         out = []
-        for xi, yi, zz in zip(xs, ys, zzero.reshape(-1)):
-            out.append(Point(self.curve, None) if zz else Point(self.curve, (xi, yi)))
+        for xi, yi, zz_i in zip(xs, ys, zzero):
+            out.append(Point(self.curve, None) if zz_i else Point(self.curve, (xi, yi)))
         return out
 
     def identity_vec(self, shape: Tuple[int, ...]) -> PointVec:

@@ -51,7 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..curves import JAC_IDENTITY, Curve, Point, jac_add, jac_double
-from .curve_jax import CurveCtx, PointVec, padd
+from .curve_jax import CurveCtx, PointVec
 from .field_jax import FieldCtx, from_mont
 from .limbs import NLIMBS
 from .ntt_pallas import _add_mod, _mont_mul, _sub_mod
@@ -318,25 +318,57 @@ def _fold_fn(curve: Type[Curve], rows: int, B: int, T: int, interpret: bool):
 
 
 @lru_cache(maxsize=None)
-def _lane_reduce_fn(curve: Type[Curve], rows: int, T: int):
-    """(rows, 16, T) per-lane partial points -> (rows, 16) via log-depth
-    batched jnp point-adds (7 fused XLA ops for T=128)."""
-    cc = CurveCtx(curve)
+def _lane_reduce_fn(curve: Type[Curve], rows: int, T: int, interpret: bool = False):
+    """(rows, 16, T) per-lane partial points -> (rows, 16, T) with EVERY
+    lane holding the lane-total, via log2(T) circular-roll point-adds in
+    one Pallas kernel.
+
+    Each level l combines lane i with lane (i + T/2^(l+1)) mod T; after
+    log2(T) levels every lane has accumulated all T partials exactly once
+    (the offsets reached form all residues mod T). Replaces a jnp tree
+    whose unrolled limb graph took ~200 s of XLA compile (the round-3
+    bottleneck); the caller reads lane 0."""
+    consts = _consts5(curve)
+    log_t = T.bit_length() - 1
+
+    def kernel(xr, yr, zr, cref, ox, oy, oz):
+        nprime = cref[0][:, None]
+        plimbs = cref[1][:, None]
+        twop = cref[2][:, None]
+        b3 = cref[3][:, None]
+        x, y, z = xr[0], yr[0], zr[0]
+        for lvl in range(log_t):
+            sh = T >> (lvl + 1)
+            rolled = (
+                pltpu.roll(x, sh, 1),
+                pltpu.roll(y, sh, 1),
+                pltpu.roll(z, sh, 1),
+            )
+            x, y, z = _full_padd((x, y, z), rolled, nprime, plimbs, twop, b3)
+        ox[0], oy[0], oz[0] = x, y, z
+
+    spec = pl.BlockSpec((1, NLIMBS, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((5, NLIMBS), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     def run(x, y, z):
-        pv = PointVec(
-            jnp.transpose(x, (0, 2, 1)),
-            jnp.transpose(y, (0, 2, 1)),
-            jnp.transpose(z, (0, 2, 1)),
-        )  # (rows, T, 16)
-        t = T
-        while t > 1:
-            half = t // 2
-            a = PointVec(pv.x[:, :half], pv.y[:, :half], pv.z[:, :half])
-            b = PointVec(pv.x[:, half:t], pv.y[:, half:t], pv.z[:, half:t])
-            pv = padd(a, b, cc)
-            t = half
-        return pv.x[:, 0], pv.y[:, 0], pv.z[:, 0]
+        out_shape = tuple(
+            jax.ShapeDtypeStruct((rows, NLIMBS, T), U32) for _ in range(3)
+        )
+        ox, oy, oz = pl.pallas_call(
+            kernel,
+            grid=(rows,),
+            in_specs=[spec, spec, spec, cspec],
+            out_specs=(spec, spec, spec),
+            out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=None
+            if interpret
+            else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("arbitrary",),
+            ),
+        )(x, y, z, consts)
+        return ox[:, :, 0], oy[:, :, 0], oz[:, :, 0]
 
     return jax.jit(run)
 
@@ -408,7 +440,7 @@ def msm_pallas_many(
         canon, db.px, db.py
     )
     fx, fy, fz = _fold_fn(curve, M * nwin, B, T, interpret)(bx, by, bz)
-    rx, ry, rz = _lane_reduce_fn(curve, M * nwin, T)(fx, fy, fz)
+    rx, ry, rz = _lane_reduce_fn(curve, M * nwin, T, interpret)(fx, fy, fz)
 
     cc = bases.cc
     wins = cc.decode_points(PointVec(rx, ry, rz))  # M * nwin window sums
