@@ -159,7 +159,8 @@ def bench_ntt(extras):
 
 
 def bench_msm(extras):
-    """Pallas VMEM-bucket MSM (ops/msm_pallas.py): scalars device-resident
+    """Sorted-bucket Pallas MSM (ops/msm_sorted.py): signed c=16 windows,
+    counting-sorted bucket-per-lane accumulation; scalars device-resident
     (the prover's commit path never crosses the ~0.03 GB/s host tunnel)."""
     import random
 
@@ -167,69 +168,63 @@ def bench_msm(extras):
     from halo2_tpu.ops.curve_jax import CurveCtx
     from halo2_tpu.ops.limbs import ints_to_limbs
     from halo2_tpu.ops.msm import MSMBases, msm_host
-    from halo2_tpu.ops.msm_pallas import _msm_geometry, msm_pallas_many
+    from halo2_tpu.ops.msm_sorted import msm_sorted
 
     K = int(os.environ.get("BENCH_MSM_K", "20"))
     n = 1 << K
     q = Pallas.SCALAR.MODULUS
     random.seed(5)
 
-    # distinct small base set tiled on device to 2^K: the bucket kernel's
-    # work is independent of which points it reads; kernel exactness at
-    # real sizes is oracle-pinned in tests (test_msm_pallas.py) and by a
-    # small-n host cross-check here
+    # distinct small base set tiled on device to 2^K: the kernel's work is
+    # independent of which points it reads; exactness at real sizes is
+    # oracle-pinned in tests (test_msm_sorted.py) and by a small-n host
+    # cross-check here
     m = 1 << 12
     base_pts = [Pallas.generator().mul(random.randrange(1, 1 << 62)) for _ in range(m)]
     small = MSMBases(Pallas, base_pts)
-    c, nwin, T, n_pad = _msm_geometry(Pallas, n)
-    db = small.device_tables(m)
-
-    class TiledTables:
-        def __init__(self):
-            self.px = jnp.tile(db.px, (1, n_pad // m))
-            self.py = jnp.tile(db.py, (1, n_pad // m))
+    rx, ry = small.device_rows()
 
     class Tiled:
         curve = Pallas
         cc = CurveCtx(Pallas)
 
-        def device_tables(self, npad):
-            assert npad == n_pad
-            return TiledTables()
+        def device_rows(self):
+            return jnp.tile(rx, (n // m, 1)), jnp.tile(ry, (n // m, 1))
 
     bases = Tiled()
     scalars = [random.randrange(q) for _ in range(n)]
-    scal_dev = jnp.asarray(ints_to_limbs(scalars))[None]  # canonical (1,n,16)
+    scal_dev = jnp.asarray(ints_to_limbs(scalars))  # canonical (n,16)
 
     # small-n exactness cross-check against the host oracle
     sm_n = 1 << 10
-    chk = msm_pallas_many(scal_dev[:, :sm_n], small, mont=False)[0]
+    chk = msm_sorted(scal_dev[:sm_n], small)
     ok = chk == msm_host(scalars[:sm_n], base_pts[:sm_n], Pallas)
 
-    out = msm_pallas_many(scal_dev, bases, mont=False)  # compile + warm
+    out = msm_sorted(scal_dev, bases)  # compile + warm
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = msm_pallas_many(scal_dev, bases, mont=False)
+        out = msm_sorted(scal_dev, bases)
     dt = (time.perf_counter() - t0) / iters
     thr = n / dt
 
-    # HBM roofline: the accumulate kernel reads each affine point once per
-    # window (nwin * n * 128 B); buckets stay in VMEM
-    bound = _bw() / (128 * nwin)
+    # VPU roofline: one 13-mul complete mixed add per point per window at
+    # the measured ~530 ns/(16,128)-tile Montgomery multiply
+    nw = 16
+    bound = 1.0 / (13 * 530e-9 / 128 * nw * 1.2)  # 1.2 = Poisson padding
     extras["msm"] = {
         "metric": f"msm_2^{K}_points_per_s",
         "value": round(thr, 1),
         "unit": "points_per_s",
         "vs_baseline": round(thr / MSM_ANCHOR, 3),
         "seconds_per_msm": round(dt, 3),
-        "window_c": c,
+        "window_c": 16,
         "roofline_points_per_s": round(bound, 1),
         "pct_roofline": round(100 * thr / bound, 2),
-        "note": "VPU-compute-bound: ~75 ns per complete mixed point-add x "
-                f"{nwin} windows/point; HBM roofline shown for reference",
+        "note": "sorted signed-digit Pippenger; VPU-compute-bound "
+                "(13-mul mixed add x 16 windows x ~1.2 padding)",
         "oracle_check_2^10": bool(ok),
-        "result_nonidentity": bool(not out[0].is_identity()),
+        "result_nonidentity": bool(not out.is_identity()),
     }
 
 
@@ -285,8 +280,28 @@ def bench_proof(extras):
     }
 
 
+def bench_scaling(extras):
+    """Multi-chip scaling-shape proxy (subprocess: virtual 8-device CPU
+    mesh; this process owns the TPU backend). See tools/scaling_proxy.py."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                      "tools", "scaling_proxy.py")],
+        capture_output=True, text=True, timeout=max(60, BUDGET - (time.time() - T0)),
+        env=env,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    extras["scaling"] = json.loads(line[-1]) if line else {
+        "error": (out.stderr or "no output")[-300:]
+    }
+
+
 def main():
-    sections = os.environ.get("BENCH", "ntt,msm,proof").split(",")
+    sections = os.environ.get("BENCH", "ntt,msm,proof,scaling").split(",")
     extras = {}
 
     def _on_term(signum, frame):  # emit whatever finished, then exit
@@ -299,7 +314,8 @@ def main():
         signal.signal(sig, _on_term)
 
     emit(extras)  # a parseable line exists even if the first compile hangs
-    for name, fn in (("ntt", bench_ntt), ("msm", bench_msm), ("proof", bench_proof)):
+    for name, fn in (("ntt", bench_ntt), ("msm", bench_msm),
+                     ("proof", bench_proof), ("scaling", bench_scaling)):
         if name not in sections:
             continue
         if time.time() - T0 > BUDGET:

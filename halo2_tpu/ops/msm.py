@@ -112,6 +112,25 @@ class MSMBases:
             cache[n_pad] = DeviceBases(self.curve, self.host_points, n_pad)
         return cache[n_pad]
 
+    def device_rows(self):
+        """Row-major affine Montgomery tables (n, 16) x2 for the sorted
+        Pallas MSM's gather stage; cached."""
+        if not hasattr(self, "_rows"):
+            from .limbs import ints_to_limbs
+
+            p = self.curve.p()
+            r = self.cc.fctx.r_int
+            xs, ys = [], []
+            for pt in self.host_points:
+                assert not pt.is_identity(), "device MSM bases must be affine"
+                xs.append(pt.xy[0] * r % p)
+                ys.append(pt.xy[1] * r % p)
+            self._rows = (
+                jnp.asarray(ints_to_limbs(xs)),
+                jnp.asarray(ints_to_limbs(ys)),
+            )
+        return self._rows
+
 
 def _digits(scalars: Sequence[int], c: int, nwin: int) -> np.ndarray:
     """(n, nwin) unsigned base-2^c digits from little-endian scalar bytes."""
@@ -287,7 +306,20 @@ def msm(
             return msm_jax(scalars, bases)
         if impl == "host":
             return msm_host(scalars, host_points[:n], curve)
-        if impl == "pallas" or (impl == "auto" and jax.default_backend() == "tpu"):
+        on_tpu = jax.default_backend() == "tpu"
+        if impl == "sorted" or (
+            impl in ("auto", "pallas") and on_tpu and n >= (1 << 14)
+        ):
+            from .limbs import ints_to_limbs
+            from .msm_sorted import BucketOverflow, msm_sorted
+
+            q = curve.SCALAR.MODULUS
+            canon = jnp.asarray(ints_to_limbs([int(s) % q for s in scalars]))
+            try:
+                return msm_sorted(canon, bases)
+            except BucketOverflow:
+                pass  # structured scalars: unsorted kernel below
+        if impl == "pallas" or (impl == "auto" and on_tpu):
             from .msm_pallas import msm_pallas
 
             return msm_pallas(scalars, bases)

@@ -10,41 +10,39 @@ runtime (VERDICT round 3). Design, driven by measured machine constants
   * **c = 16 signed windows = the scalar's own limbs.** Balanced recoding
     maps limb w to e_w in [-2^15, 2^15] with a carry into the next limb,
     so digit extraction is free and the window count drops from 32 (c=8)
-    to 16 -- the bucket count (2^15 by |e|, sign folds into point
+    to 16 -- the big bucket space (2^15 by |e|; sign folds into point
     negation) is paid for by sorting, not VMEM.
   * **Counting sort by bucket, bucket-per-lane grid.** For each window,
     points are argsorted by bucket index and gathered into a
-    (Cap, 16, 1024) grid where lane l owns the KB=32 consecutive buckets
-    [32l, 32l+32): rank r of lane l is the r-th sorted point of that
-    bucket range. The Pallas kernel is then a pure strided accumulation:
-    one complete mixed add per step into one of 32 lane-private
-    accumulators (a 32-row select, ~10% of the add cost) -- the classic
-    Pippenger scatter (SURVEY.md hard parts #3) disappears into the XLA
-    sort+gather.
-  * **Poisson padding.** Lane occupancy is Binomial(n, 32/2^15) ~=
-    Poisson(lam = n/1024); Cap = lam + 6*sqrt(lam) + 8 makes overflow
+    (Cap, L, W) grid where lane l owns the KB consecutive buckets
+    [KB*l, KB*l + KB) (W * KB = 2^15): rank r of lane l is the r-th
+    sorted point of that bucket range. The Pallas kernel is then a pure
+    strided accumulation: one complete mixed add per step into one of KB
+    lane-private accumulators (a KB-row one-hot select, ~10% of the add
+    cost) -- the classic Pippenger scatter (SURVEY.md hard parts #3)
+    disappears into the XLA sort + gather.
+  * **Poisson padding.** Lane occupancy is Binomial(n, KB/2^15) ~=
+    Poisson(lam = n/W); Cap = lam + 6*sqrt(lam) + 8 makes overflow
     astronomically unlikely for field-random scalars (blinded prover
-    polynomials). Structured scalars can overflow a lane: the kernel
-    output carries per-window overflow flags and the caller falls back to
-    the unsorted kernel -- correctness never depends on the distribution.
-  * **W = 1024 lanes per tile.** The Montgomery multiplier's serial carry
-    sweeps cost ~35% of a (16,128) tile multiply because each sweep step
-    is a 1-sublane row op; 8 lane-tiles wide, each sweep step is a full
-    VPU row and the cost amortizes 8x.
-  * |e| = 2^15 (sign always -1) falls outside the 32768-bucket grid and
-    is accumulated separately from a small (128-slot) side list.
-  * Bucket fold on device: sum_b b*S_b = 32*sum_l l*P_l + sum_s s*C_s via
-    lane-suffix scans (log-depth pltpu.roll adds) and a sub-suffix loop,
-    then a Horner over windows -- one single-point readback per MSM
-    (device->host latency is ~175 ms/call through the tunnel, so the
-    whole MSM syncs exactly once).
+    polynomials). Structured scalars can overflow a lane: the result
+    carries an overflow flag read back with the point, and the caller
+    falls back to the unsorted kernel -- correctness never depends on
+    the scalar distribution.
+  * |e| = 2^15 (sign always -1) falls outside the KB*W bucket grid and
+    is accumulated from a small (128-slot) per-window side list inside
+    the fold kernel.
+  * Bucket fold and window Horner run on device: sum_b b*S_b =
+    KB*sum_l l*P_l + sum_s s*C_s via lane-suffix scans (log-depth
+    pltpu.roll adds) and a sub-suffix loop. The whole MSM performs
+    exactly ONE device->host readback (affine result + flags) -- readback
+    latency is ~175 ms/call through the tunnel, measured.
 """
 
 from __future__ import annotations
 
 import math
 from functools import lru_cache
-from typing import Sequence, Type
+from typing import Tuple, Type
 
 import jax
 import jax.numpy as jnp
@@ -54,26 +52,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..curves import Curve, Point
 from .curve_jax import CurveCtx
-from .field_jax import FieldCtx, from_mont, inv_mod, is_zero, mont_mul
-from .limbs import NLIMBS, ints_to_limbs, limbs_to_ints
+from .field_jax import from_mont, inv_mod, is_zero, mont_mul
+from .limbs import NLIMBS, limbs_to_ints
 from .msm_pallas import _consts5, _full_padd, _mixed_padd
-from .ntt_pallas import _mont_mul, _sub_mod
+from .ntt_pallas import _sub_mod
 
 U32 = jnp.uint32
 I32 = jnp.int32
-W = 1024  # kernel lane width (8 hardware lane-tiles)
-KB = 32  # buckets per lane; lanes cover KB * W = 2^15 buckets
+BUCKET_BITS = 15  # buckets by |e|, e in [-2^15, 2^15]
 SIDE_CAP = 128  # slots for |e| = 2^15 points per window
+DEF_W = 1024  # kernel lane width (8 hardware lane-tiles)
+DEF_KB = 32  # buckets per lane; W * KB = 2^15
 
 
-def _geometry(n: int):
-    lam = max(1.0, KB * n / float(KB * W))  # = n / W
-    cap = int(math.ceil((lam + 6.0 * math.sqrt(lam) + 8.0) / 8.0)) * 8
-    return cap
+def _cap_for(n: int, w: int) -> int:
+    lam = max(1.0, n / float(w))
+    return int(math.ceil((lam + 6.0 * math.sqrt(lam) + 8.0) / 8.0)) * 8
 
 
 def _num_windows(q: int) -> int:
-    # top recoded digit fits window 15 iff (q-1)'s top limb + carry < 2^15
+    # the top recoded digit fits window 15 iff (q-1)'s top limb + carry
+    # stays below 2^15 (true for Pasta & BN254-Fr; secp256k1 needs 17)
     return 16 if ((q - 1) >> 240) + 1 < (1 << 15) else 17
 
 
@@ -98,36 +97,42 @@ def _recode_signed(limbs: jnp.ndarray, nw: int):
 
 
 @lru_cache(maxsize=None)
-def _prestage_fn(n: int, nw: int, cap: int):
+def _prestage_fn(n: int, nw: int, cap: int, w_lanes: int, kb: int):
     """Jitted: canonical scalar limbs + row-major base tables -> kernel
-    inputs (grids, meta, side lists, overflow flags)."""
+    inputs (grids, meta, side lists, overflow flag)."""
 
     def run(limbs, px_rows, py_rows):
         e = _recode_signed(limbs, nw)  # (nw, n)
         bucket = jnp.abs(e)  # (nw, n) in [0, 2^15]
         order = jax.vmap(jnp.argsort)(bucket)  # (nw, n)
         sorted_b = jnp.take_along_axis(bucket, order, axis=1)
-        # lane boundaries: gstart[w, l] = first sorted pos with bucket >= KB*l
-        queries = (KB * jnp.arange(W + 1)).astype(sorted_b.dtype)
+        # lane boundaries: gstart[w, l] = first sorted pos with bucket >= kb*l
+        queries = (kb * jnp.arange(w_lanes + 1)).astype(sorted_b.dtype)
         gstart = jax.vmap(lambda sb: jnp.searchsorted(sb, queries))(sorted_b)
-        gcnt = gstart[:, 1:] - gstart[:, :-1]  # (nw, W)
-        side_cnt = n - gstart[:, W]
-        overflow = (jnp.max(gcnt, axis=1) > cap) | (side_cnt > SIDE_CAP)
+        gcnt = gstart[:, 1:] - gstart[:, :-1]  # (nw, w_lanes)
+        side_cnt = n - gstart[:, w_lanes]
+        overflow = jnp.max(
+            (jnp.max(gcnt, axis=1) > cap) | (side_cnt > SIDE_CAP)
+        )
 
         r_iota = jnp.arange(cap)[:, None]  # (cap, 1)
         gx, gy, gm = [], [], []
         sx, sy, sv = [], [], []
         for w in range(nw):
-            pos = gstart[w, :-1][None, :] + r_iota  # (cap, W)
+            pos = gstart[w, :-1][None, :] + r_iota  # (cap, w_lanes)
             valid = pos < gstart[w, 1:][None, :]
             src = jnp.take(order[w], jnp.clip(pos, 0, n - 1).reshape(-1))
-            bsub = (jnp.take(bucket[w], src) & (KB - 1)).astype(U32)
+            bsub = (jnp.take(bucket[w], src) % kb).astype(U32)
             sign = (jnp.take(e[w], src) < 0).astype(U32)
-            meta = bsub | (sign << 5) | (valid.reshape(-1).astype(U32) << 6)
-            gx.append(jnp.take(px_rows, src, axis=0).reshape(cap, W, NLIMBS))
-            gy.append(jnp.take(py_rows, src, axis=0).reshape(cap, W, NLIMBS))
-            gm.append(meta.reshape(cap, W))
-            spos = gstart[w, W] + jnp.arange(SIDE_CAP)
+            meta = bsub | (sign << 8) | (valid.reshape(-1).astype(U32) << 9)
+            gx.append(
+                jnp.take(px_rows, src, axis=0).reshape(cap, w_lanes, NLIMBS)
+            )
+            gy.append(
+                jnp.take(py_rows, src, axis=0).reshape(cap, w_lanes, NLIMBS)
+            )
+            gm.append(meta.reshape(cap, w_lanes))
+            spos = gstart[w, w_lanes] + jnp.arange(SIDE_CAP)
             svalid = spos < n
             ssrc = jnp.take(order[w], jnp.clip(spos, 0, n - 1))
             sx.append(jnp.take(px_rows, ssrc, axis=0))
@@ -135,7 +140,12 @@ def _prestage_fn(n: int, nw: int, cap: int):
             sv.append(svalid)
         grid_x = jnp.stack(gx).transpose(0, 1, 3, 2)  # (nw, cap, L, W)
         grid_y = jnp.stack(gy).transpose(0, 1, 3, 2)
-        meta = jnp.stack(gm)  # (nw, cap, W)
+        # meta replicated to 8 sublane rows: the kernel must read it from a
+        # STATIC sublane offset (Mosaic cannot broadcast a dynamically
+        # indexed row across sublanes), and (8, W) trailing dims tile
+        meta = jnp.broadcast_to(
+            jnp.stack(gm)[:, :, None, :], (nw, cap, 8, w_lanes)
+        )
         side_x = jnp.stack(sx).transpose(0, 2, 1)  # (nw, L, SIDE_CAP)
         side_y = jnp.stack(sy).transpose(0, 2, 1)
         side_valid = jnp.stack(sv)  # (nw, SIDE_CAP) bool
@@ -150,7 +160,8 @@ def _prestage_fn(n: int, nw: int, cap: int):
 
 
 @lru_cache(maxsize=None)
-def _accum_fn(curve: Type[Curve], nw: int, cap: int, interpret: bool):
+def _accum_fn(curve: Type[Curve], nw: int, cap: int, w_lanes: int, kb: int,
+              interpret: bool):
     consts = _consts5(curve)
 
     def kernel(gx, gy, mref, cref, ox, oy, oz):
@@ -163,16 +174,16 @@ def _accum_fn(curve: Type[Curve], nw: int, cap: int, interpret: bool):
 
         @pl.when(r == 0)
         def _init():
-            ox[:] = jnp.zeros((1, KB, NLIMBS, W), U32)
-            oy[:] = jnp.broadcast_to(onem[None, None], (1, KB, NLIMBS, W))
-            oz[:] = jnp.zeros((1, KB, NLIMBS, W), U32)
+            ox[:] = jnp.zeros((1, kb, NLIMBS, w_lanes), U32)
+            oy[:] = jnp.broadcast_to(onem[None, None], (1, kb, NLIMBS, w_lanes))
+            oz[:] = jnp.zeros((1, kb, NLIMBS, w_lanes), U32)
 
-        m = mref[0]  # (1, W)
-        sub = m & U32(KB - 1)
-        sign = (m >> 5) & 1
-        valid = (m >> 6) & 1
-        iota = jax.lax.broadcasted_iota(U32, (KB, 1, W), 0)
-        mask = iota == sub[None]  # (KB, 1, W)
+        m = mref[0, 0, 0:1]  # (1, W)
+        sub = m & U32(kb - 1)
+        sign = (m >> 8) & 1
+        valid = (m >> 9) & 1
+        iota = jax.lax.broadcasted_iota(U32, (kb, 1, w_lanes), 0)
+        mask = iota == sub[None]  # (kb, 1, W)
 
         def sel(ref):  # one-hot accumulator read; limbs < 2^16 so exact
             v = jnp.where(mask, ref[0].astype(I32), 0)
@@ -182,28 +193,35 @@ def _accum_fn(curve: Type[Curve], nw: int, cap: int, interpret: bool):
         py = gy[0, 0]
         py = jnp.where(
             sign == 1,
-            _sub_mod(jnp.zeros((NLIMBS, W), U32), py, twop),
+            _sub_mod(jnp.zeros((NLIMBS, w_lanes), U32), py, twop),
             py,
         )
         cur = (sel(ox), sel(oy), sel(oz))
         X3, Y3, Z3 = _mixed_padd(cur, (px, py), nprime, plimbs, twop, b3)
-        upd = mask & (valid == 1)[None]  # (KB, 1, W)
+        upd = mask & (valid == 1)[None]  # (kb, 1, W)
         ox[0] = jnp.where(upd, X3[None], ox[0])
         oy[0] = jnp.where(upd, Y3[None], oy[0])
         oz[0] = jnp.where(upd, Z3[None], oz[0])
 
     gspec = pl.BlockSpec(
-        (1, 1, NLIMBS, W), lambda w, r: (w, r, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, NLIMBS, w_lanes), lambda w, r: (w, r, 0, 0),
+        memory_space=pltpu.VMEM,
     )
-    mspec = pl.BlockSpec((1, 1, W), lambda w, r: (w, r, 0), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec(
+        (1, 1, 8, w_lanes),
+        lambda w, r: (w, r, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     cspec = pl.BlockSpec((5, NLIMBS), lambda w, r: (0, 0), memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec(
-        (1, KB, NLIMBS, W), lambda w, r: (w, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, kb, NLIMBS, w_lanes), lambda w, r: (w, 0, 0, 0),
+        memory_space=pltpu.VMEM,
     )
 
     def run(grid_x, grid_y, meta):
         out_shape = tuple(
-            jax.ShapeDtypeStruct((nw, KB, NLIMBS, W), U32) for _ in range(3)
+            jax.ShapeDtypeStruct((nw, kb, NLIMBS, w_lanes), U32)
+            for _ in range(3)
         )
         return pl.pallas_call(
             kernel,
@@ -224,16 +242,13 @@ def _accum_fn(curve: Type[Curve], nw: int, cap: int, interpret: bool):
 
 
 # ---------------------------------------------------------------------------
-# Pallas fold kernel: buckets -> one point per window
+# Pallas fold kernel: buckets (+ side list) -> one point per window
 # ---------------------------------------------------------------------------
 
 
-def _lane_iota(w):
-    return jax.lax.broadcasted_iota(U32, (1, w), 1)[0]
-
-
 @lru_cache(maxsize=None)
-def _fold_fn(curve: Type[Curve], nw: int, interpret: bool):
+def _fold_fn(curve: Type[Curve], nw: int, w_lanes: int, kb: int,
+             interpret: bool):
     """(nw, KB, L, W) buckets + side lists -> (nw, L, W) per-window sums
     (every lane equal): sum_b b*S_b with b = KB*lane + sub, plus
     2^15 * side_sum."""
@@ -245,81 +260,87 @@ def _fold_fn(curve: Type[Curve], nw: int, interpret: bool):
         twop = cref[2][:, None]
         b3 = cref[3][:, None]
         onem = cref[4][:, None]
-        idx = jnp.zeros((NLIMBS, W), U32)
-        idy = jnp.broadcast_to(onem, (NLIMBS, W))
-        idz = jnp.zeros((NLIMBS, W), U32)
-        ident = (idx, idy, idz)
+        ident = (
+            jnp.zeros((NLIMBS, w_lanes), U32),
+            jnp.broadcast_to(onem, (NLIMBS, w_lanes)),
+            jnp.zeros((NLIMBS, w_lanes), U32),
+        )
+        lanes = jax.lax.broadcasted_iota(U32, (1, w_lanes), 1)
 
         def padd(a, b):
             return _full_padd(a, b, nprime, plimbs, twop, b3)
 
-        def pick(t, c, a, b):
-            m = c[None, :]
-            return tuple(jnp.where(m, x, y) for x, y in zip(a, b))
+        def pick(cond, a, b):  # cond (1, W) bool
+            return tuple(jnp.where(cond, x, y) for x, y in zip(a, b))
 
         # sub-suffix: run = sum_{s>=j} S_s ; tot = sum_s s*S_s   (per lane)
         def sub_body(i, carry):
             run, tot = carry
-            s = KB - 1 - i
-            v = (bx[0, s], by[0, s], bz[0, s])
+            s = kb - 1 - i
+            v = (
+                bx[0, pl.ds(s, 1)][0],
+                by[0, pl.ds(s, 1)][0],
+                bz[0, pl.ds(s, 1)][0],
+            )
             run = padd(run, v)
             tot = padd(tot, run)
             return run, tot
 
-        run, tot = jax.lax.fori_loop(
-            0, KB - 1, sub_body, (ident, ident)
-        )  # s = KB-1 .. 1
+        run, tot = jax.lax.fori_loop(0, kb - 1, sub_body, (ident, ident))
         p1 = padd(run, (bx[0, 0], by[0, 0], bz[0, 0]))  # plain lane total
 
         # lane-suffix scan of p1: suf[l] = sum_{j>=l} p1[j]
-        lanes = _lane_iota(W)
         suf = p1
-        sh = W // 2
+        sh = w_lanes // 2
         while sh >= 1:
-            rolled = tuple(pltpu.roll(t, W - sh, 1) for t in suf)
-            keep = lanes < U32(W - sh)  # lanes >= W-sh shifted in wrapped data
-            suf = padd(suf, pick(None, keep, rolled, ident))
+            rolled = tuple(pltpu.roll(t, w_lanes - sh, 1) for t in suf)
+            keep = lanes < U32(w_lanes - sh)  # drop wrapped-in lanes
+            suf = padd(suf, pick(keep, rolled, ident))
             sh //= 2
 
         # LW = sum_{l>=1} suf[l]  (circular tree => all lanes equal)
-        lw = pick(None, lanes >= 1, suf, ident)
-        sh = W // 2
+        lw = pick(lanes >= 1, suf, ident)
+        sh = w_lanes // 2
         while sh >= 1:
-            rolled = tuple(pltpu.roll(t, sh, 1) for t in lw)
-            lw = padd(lw, rolled)
+            lw = padd(lw, tuple(pltpu.roll(t, sh, 1) for t in lw))
             sh //= 2
 
         # SUBTOT = sum over lanes of tot (circular tree)
         st = tot
-        sh = W // 2
+        sh = w_lanes // 2
         while sh >= 1:
-            rolled = tuple(pltpu.roll(t, sh, 1) for t in st)
-            st = padd(st, rolled)
+            st = padd(st, tuple(pltpu.roll(t, sh, 1) for t in st))
             sh //= 2
 
         # total = KB * LW + SUBTOT
         acc = lw
-        for _ in range(KB.bit_length() - 1):  # *32
+        for _ in range(kb.bit_length() - 1):  # * KB
             acc = padd(acc, acc)
         acc = padd(acc, st)
 
-        # side: points with |e| = 2^15, sign fixed -1 -> negate y, then
-        # total += 2^15 * sum(side)
-        sv = svr[0]  # (8, SIDE_CAP) mask rows (padded); row 0 is the mask
-        sxv = sxr[0]
-        syv = syr[0]
-
-        def side_body(j, carry):
-            keep = sv[0, j] > 0
-            px = sxv[:, j : j + 1]
-            py = syv[:, j : j + 1]
-            px = jnp.broadcast_to(px, (NLIMBS, W))
-            py = jnp.broadcast_to(py, (NLIMBS, W))
-            ny = _sub_mod(jnp.zeros((NLIMBS, W), U32), py, twop)
-            X3, Y3, Z3 = _mixed_padd(carry, (px, ny), nprime, plimbs, twop, b3)
-            return pick(None, jnp.broadcast_to(keep, (W,)), (X3, Y3, Z3), carry)
-
-        side = jax.lax.fori_loop(0, SIDE_CAP, side_body, ident)
+        # side list: points with |e| = 2^15, sign always -1. Lay the
+        # SIDE_CAP slots on lanes, mask invalid to the identity, circular
+        # tree-reduce, then weight by 2^15.
+        sval = svr[0, 0:1]  # (1, SIDE_CAP) u32 0/1
+        svx = sxr[0]  # (L, SIDE_CAP)
+        svy = syr[0]
+        keep = sval == 1
+        side = (
+            jnp.where(keep, svx, 0),
+            jnp.where(
+                keep,
+                _sub_mod(jnp.zeros_like(svy), svy, twop),  # negate y
+                jnp.broadcast_to(onem, svy.shape),
+            ),
+            jnp.where(keep, jnp.broadcast_to(onem, svx.shape), 0),
+        )
+        sh = SIDE_CAP // 2
+        while sh >= 1:
+            side = padd(side, tuple(pltpu.roll(t, sh, 1) for t in side))
+            sh //= 2
+        side = tuple(
+            jnp.broadcast_to(t[:, 0:1], (NLIMBS, w_lanes)) for t in side
+        )
         for _ in range(15):  # * 2^15
             side = padd(side, side)
         acc = padd(acc, side)
@@ -327,7 +348,8 @@ def _fold_fn(curve: Type[Curve], nw: int, interpret: bool):
         ox[0], oy[0], oz[0] = acc
 
     bspec = pl.BlockSpec(
-        (1, KB, NLIMBS, W), lambda w: (w, 0, 0, 0), memory_space=pltpu.VMEM
+        (1, kb, NLIMBS, w_lanes), lambda w: (w, 0, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     sspec = pl.BlockSpec(
         (1, NLIMBS, SIDE_CAP), lambda w: (w, 0, 0), memory_space=pltpu.VMEM
@@ -337,7 +359,7 @@ def _fold_fn(curve: Type[Curve], nw: int, interpret: bool):
     )
     cspec = pl.BlockSpec((5, NLIMBS), lambda w: (0, 0), memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec(
-        (1, NLIMBS, W), lambda w: (w, 0, 0), memory_space=pltpu.VMEM
+        (1, NLIMBS, w_lanes), lambda w: (w, 0, 0), memory_space=pltpu.VMEM
     )
 
     def run(bx, by, bz, side_x, side_y, side_valid):
@@ -345,7 +367,7 @@ def _fold_fn(curve: Type[Curve], nw: int, interpret: bool):
             side_valid.astype(U32)[:, None, :], (nw, 8, SIDE_CAP)
         )
         out_shape = tuple(
-            jax.ShapeDtypeStruct((nw, NLIMBS, W), U32) for _ in range(3)
+            jax.ShapeDtypeStruct((nw, NLIMBS, w_lanes), U32) for _ in range(3)
         )
         return pl.pallas_call(
             kernel,
@@ -366,12 +388,12 @@ def _fold_fn(curve: Type[Curve], nw: int, interpret: bool):
 
 
 # ---------------------------------------------------------------------------
-# Horner over windows (device) + single-readback decode
+# Horner over windows (device)
 # ---------------------------------------------------------------------------
 
 
 @lru_cache(maxsize=None)
-def _horner_fn(curve: Type[Curve], nw: int, interpret: bool):
+def _horner_fn(curve: Type[Curve], nw: int, w_lanes: int, interpret: bool):
     """(nw, L, W) window sums -> (L, W) total = sum_w 2^(16w) * win_w."""
     consts = _consts5(curve)
 
@@ -385,26 +407,35 @@ def _horner_fn(curve: Type[Curve], nw: int, interpret: bool):
             return _full_padd(a, b, nprime, plimbs, twop, b3)
 
         def body(i, acc):
-            w = nw - 1 - i
+            w = nw - 2 - i
             for _ in range(16):
                 acc = padd(acc, acc)
-            return padd(acc, (wx[w], wy[w], wz[w]))
+            v = (
+                wx[pl.ds(w, 1)][0],
+                wy[pl.ds(w, 1)][0],
+                wz[pl.ds(w, 1)][0],
+            )
+            return padd(acc, v)
 
         top = (wx[nw - 1], wy[nw - 1], wz[nw - 1])
         acc = jax.lax.fori_loop(0, nw - 1, body, top)
         ox[:], oy[:], oz[:] = acc
 
-    spec = pl.BlockSpec((nw, NLIMBS, W), lambda: (0, 0, 0), memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((5, NLIMBS), lambda: (0, 0), memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((NLIMBS, W), lambda: (0, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec(
+        (nw, NLIMBS, w_lanes), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    cspec = pl.BlockSpec((5, NLIMBS), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec(
+        (NLIMBS, w_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
 
     def run(wx, wy, wz):
         out_shape = tuple(
-            jax.ShapeDtypeStruct((NLIMBS, W), U32) for _ in range(3)
+            jax.ShapeDtypeStruct((NLIMBS, w_lanes), U32) for _ in range(3)
         )
         return pl.pallas_call(
             kernel,
-            grid=(),
+            grid=(1,),
             in_specs=[spec, spec, spec, cspec],
             out_specs=(ospec, ospec, ospec),
             out_shape=out_shape,
@@ -417,49 +448,57 @@ def _horner_fn(curve: Type[Curve], nw: int, interpret: bool):
     return jax.jit(run)
 
 
-class OverflowError_(RuntimeError):
-    pass
+class BucketOverflow(RuntimeError):
+    """Poisson capacity exceeded (structured scalars); caller falls back."""
 
 
 def msm_sorted(
     scal_canon: jnp.ndarray,
     bases,
     interpret: bool = None,
+    w_lanes: int = DEF_W,
 ) -> Point:
     """One MSM: (n, 16) canonical u32 scalar limbs x row-major device base
-    tables -> host Point. Raises OverflowError_ if the Poisson capacity was
+    tables -> host Point. Raises BucketOverflow if the capacity was
     exceeded (caller falls back to the unsorted kernel)."""
     curve = bases.curve
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    kb = (1 << BUCKET_BITS) // w_lanes
     n = scal_canon.shape[0]
-    cap = _geometry(n)
+    cap = _cap_for(n, w_lanes)
     nw = _num_windows(curve.SCALAR.MODULUS)
     px_rows, py_rows = bases.device_rows()
+    assert px_rows.shape[0] >= n, "more scalars than bases"
+    if px_rows.shape[0] != n:  # an MSM over n scalars uses the first n bases
+        px_rows = px_rows[:n]
+        py_rows = py_rows[:n]
 
-    gx, gy, meta, sx, sy, sv, overflow = _prestage_fn(n, nw, cap)(
+    gx, gy, meta, sx, sy, sv, overflow = _prestage_fn(n, nw, cap, w_lanes, kb)(
         scal_canon, px_rows, py_rows
     )
-    bx, by, bz = _accum_fn(curve, nw, cap, interpret)(gx, gy, meta)
-    wx, wy, wz = _fold_fn(curve, nw, interpret)(bx, by, bz, sx, sy, sv)
-    tx, ty, tz = _horner_fn(curve, nw, interpret)(wx, wy, wz)
+    bx, by, bz = _accum_fn(curve, nw, cap, w_lanes, kb, interpret)(gx, gy, meta)
+    wx, wy, wz = _fold_fn(curve, nw, w_lanes, kb, interpret)(
+        bx, by, bz, sx, sy, sv
+    )
+    tx, ty, tz = _horner_fn(curve, nw, w_lanes, interpret)(wx, wy, wz)
 
-    # single readback: affine coords + identity flag + overflow flags
-    fctx = FieldCtx(curve.BASE)
+    # single readback: affine coords + identity flag + overflow flag
+    fctx = CurveCtx(curve).fctx
     x = tx[:, 0]
     y = ty[:, 0]
     z = tz[:, 0]
     zinv = inv_mod(z, fctx)
     xa = from_mont(mont_mul(x, zinv, fctx), fctx)
     ya = from_mont(mont_mul(y, zinv, fctx), fctx)
-    zz = is_zero(z, fctx).astype(U32).reshape(1)
-    ovf = jnp.max(overflow.astype(U32)).reshape(1)
+    zz = is_zero(z[None, :], fctx).astype(U32).reshape(1)[:1]
+    ovf = overflow.astype(U32).reshape(1)
     packed = jnp.concatenate([xa, ya, zz, ovf])
     host = np.asarray(jax.device_get(packed))
     if host[2 * NLIMBS + 1]:
-        raise OverflowError_("bucket capacity exceeded (structured scalars)")
+        raise BucketOverflow("bucket capacity exceeded (structured scalars)")
     if host[2 * NLIMBS]:
         return Point(curve, None)
-    xi = limbs_to_ints(host[None, :NLIMBS])[0]
-    yi = limbs_to_ints(host[None, NLIMBS : 2 * NLIMBS])[0]
+    xi = limbs_to_ints(np.ascontiguousarray(host[None, :NLIMBS]))[0]
+    yi = limbs_to_ints(np.ascontiguousarray(host[None, NLIMBS : 2 * NLIMBS]))[0]
     return Point(curve, (xi, yi))

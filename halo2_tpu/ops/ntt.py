@@ -121,12 +121,20 @@ def get_plan(field: Type[FieldElement], log_n: int, omega: int):
     impl = os.environ.get("NTT", "auto")
     if impl == "jnp":
         return NttPlan(field, log_n, omega)
-    if impl == "pallas" or (
-        impl == "auto" and log_n >= 10 and jax.default_backend() == "tpu"
-    ):
+    if impl == "mxu":
+        from .mxu_mont import MxuNttPlan
+
+        return MxuNttPlan(field, log_n, omega)
+    if impl == "pallas":  # original unrolled kernels (slow compile)
         from .ntt_pallas import PallasNttPlan
 
         return PallasNttPlan(field, log_n, omega)
+    if impl in ("pallas2", "cg") or (
+        impl == "auto" and log_n >= 10 and jax.default_backend() == "tpu"
+    ):
+        from .ntt_pallas2 import CgNttPlan
+
+        return CgNttPlan(field, log_n, omega)
     return NttPlan(field, log_n, omega)
 
 

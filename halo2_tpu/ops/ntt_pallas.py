@@ -72,15 +72,20 @@ def _mul_cols(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sweep(cols: jnp.ndarray, nout: int) -> jnp.ndarray:
-    """Serial carry propagation along the limb (sublane) axis."""
+    """Serial carry propagation along the limb (sublane) axis.
+
+    All row temporaries keep an explicit (..., 1, W) shape: a 1-D (W,)
+    vector with W > 128 gets packed across sublanes by Mosaic, and
+    re-broadcasting it against (..., L, W) is an unsupported
+    sublane+lane broadcast (the round-4 W=1024 kernel failure)."""
     n = cols.shape[-2]
     out = []
-    carry = jnp.zeros(cols.shape[:-2] + cols.shape[-1:], U32)
+    carry = jnp.zeros(cols.shape[:-2] + (1,) + cols.shape[-1:], U32)
     for k in range(min(n, nout)):
-        v = cols[..., k, :] + carry
+        v = cols[..., k : k + 1, :] + carry
         out.append(v & MASK)
         carry = v >> LIMB_BITS
-    res = jnp.stack(out, axis=-2)
+    res = jnp.concatenate(out, axis=-2)
     if res.shape[-2] < nout:
         res = jnp.pad(
             res, [(0, 0)] * (res.ndim - 2) + [(0, nout - res.shape[-2]), (0, 0)]
@@ -99,34 +104,35 @@ def _mont_mul(a, b, nprime, plimbs):
 
 
 def _sub_2p_if_ge(t, twop, hi=None):
-    borrow = jnp.zeros(t.shape[:-2] + t.shape[-1:], U32)
+    # row temporaries stay (..., 1, W) -- see _sweep
+    borrow = jnp.zeros(t.shape[:-2] + (1,) + t.shape[-1:], U32)
     diffs = []
     for k in range(NLIMBS):
-        d = t[..., k, :] - twop[..., k, :] - borrow
+        d = t[..., k : k + 1, :] - twop[..., k : k + 1, :] - borrow
         borrow = (d >> 31) & 1
         diffs.append(d & MASK)
-    diff = jnp.stack(diffs, axis=-2)
+    diff = jnp.concatenate(diffs, axis=-2)
     ge = borrow == 0
     if hi is not None:
         ge = ge | (hi > 0)
-    return jnp.where(ge[..., None, :], diff, t)
+    return jnp.where(ge, diff, t)
 
 
 def _add_mod(a, b, twop):
     s = _sweep(a + b, NLIMBS + 1)
-    return _sub_2p_if_ge(s[..., :NLIMBS, :], twop, s[..., NLIMBS, :])
+    return _sub_2p_if_ge(s[..., :NLIMBS, :], twop, s[..., NLIMBS : NLIMBS + 1, :])
 
 
 def _sub_mod(a, b, twop):
     cols = a.astype(I32) + twop.astype(I32) - b.astype(I32)
     out = []
-    carry = jnp.zeros(cols.shape[:-2] + cols.shape[-1:], I32)
+    carry = jnp.zeros(cols.shape[:-2] + (1,) + cols.shape[-1:], I32)
     for k in range(NLIMBS):
-        v = cols[..., k, :] + carry
+        v = cols[..., k : k + 1, :] + carry
         out.append(v & jnp.int32(LIMB_MASK))
         carry = v >> LIMB_BITS
     hi = carry.astype(U32)
-    t = jnp.stack(out, axis=-2).astype(U32)
+    t = jnp.concatenate(out, axis=-2).astype(U32)
     return _sub_2p_if_ge(t, twop, hi)
 
 

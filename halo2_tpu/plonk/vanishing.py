@@ -51,6 +51,8 @@ def commit_random(params, domain, rng, transcript) -> Committed:
 
 
 def construct(committed: Committed, params, domain, h_poly: Polynomial, rng, transcript) -> Constructed:
+    import jax.numpy as jnp
+
     F = params.curve.SCALAR
     h_poly = domain.divide_by_vanishing_poly(h_poly)
     h_coeffs = domain.extended_to_coeff(h_poly)  # FVec, len n*quotient_degree
@@ -61,8 +63,12 @@ def construct(committed: Committed, params, domain, h_poly: Polynomial, rng, tra
         for i in range(0, len(h_coeffs), n)
     ]
     blinds = [Blind(F.random(rng).v) for _ in pieces]
-    for piece, blind in zip(pieces, blinds):
-        c = params.commit(piece.vec.to_ints(), blind)
+    # one batched device MSM for all pieces (prover.rs:92-144's per-piece
+    # commits; group elements identical)
+    commitments = params.commit_many(
+        jnp.stack([piece.vec.vals for piece in pieces]), blinds, lagrange=False
+    )
+    for c in commitments:
         transcript.write_point(c)
     return Constructed(pieces, blinds, committed)
 

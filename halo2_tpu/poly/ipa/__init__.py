@@ -331,7 +331,86 @@ class MSMIPA:
 # ---------------------------------------------------------------------------
 
 
-def ipa_commit_open(params: ParamsIPA, rng, transcript, p_poly: List[int], p_blind: Blind, x_3: int):
+def _ipa_round_fns(field, n: int):
+    """Shape-stable jitted round pieces for the k-round fold.
+
+    Every round reuses the SAME two compiled graphs - the live length m is
+    a traced scalar (limb 0 of `mrow`) and lanes >= m are masked - so the
+    opening costs two XLA compiles total instead of ~8 per round (the
+    round-3 dryrun spent 449 s of its 771 s in exactly this shape churn)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ...ops.field_jax import FieldCtx, add_mod, mont_mul, select
+    from ...ops.polyeval import _tree_sum
+
+    key = (field, n)
+    if key in _ROUND_FNS:
+        return _ROUND_FNS[key]
+    ctx = FieldCtx(field)
+    lane = jnp.arange(n, dtype=jnp.uint32)
+
+    def gat(v, idx):
+        return jnp.take(v, jnp.clip(idx, 0, n - 1), axis=0)
+
+    @jax.jit
+    def emit(pprime, b, s_mult, mrow, z_mont, rands):
+        """-> (2, n+2, 16) Montgomery scalars over bases g ++ [u, w]:
+        row 0 = L_j (w_l coefficients, z*<p'_hi, b_lo> on u, l_rand on w),
+        row 1 = R_j."""
+        m = mrow[0]
+        half = m // 2
+        j = lane & (m - 1)
+        hi = (j & half) != 0
+        zero = jnp.zeros_like(s_mult)
+        wl = select(
+            jnp.logical_not(hi), mont_mul(s_mult, gat(pprime, half + j), ctx),
+            zero,
+        )
+        wr = select(
+            hi,
+            mont_mul(s_mult, gat(pprime, jnp.where(hi, j - half, 0)), ctx),
+            zero,
+        )
+        first = lane < half
+        vl = select(first, mont_mul(gat(pprime, lane + half), b, ctx), zero)
+        vr = select(first, mont_mul(pprime, gat(b, lane + half), ctx), zero)
+        value_l = _tree_sum(vl, ctx, axis=0)
+        value_r = _tree_sum(vr, ctx, axis=0)
+        tail_l = jnp.stack([mont_mul(z_mont, value_l, ctx), rands[0]])
+        tail_r = jnp.stack([mont_mul(z_mont, value_r, ctx), rands[1]])
+        return jnp.stack(
+            [jnp.concatenate([wl, tail_l]), jnp.concatenate([wr, tail_r])]
+        )
+
+    @jax.jit
+    def fold(pprime, b, s_mult, mrow, uu):
+        """p' <- p'_lo + u^-1 p'_hi ; b <- b_lo + u b_hi ;
+        s_mult <- u * s_mult on lanes with the half-bit set.
+        uu = (2, 16): [u_mont, u_inv_mont]."""
+        m = mrow[0]
+        half = m // 2
+        first = lane < half
+        hi_sel = (lane & half) != 0
+        um = jnp.broadcast_to(uu[0], pprime.shape)
+        uim = jnp.broadcast_to(uu[1], pprime.shape)
+        ppn = add_mod(pprime, mont_mul(gat(pprime, lane + half), uim, ctx), ctx)
+        bn = add_mod(b, mont_mul(gat(b, lane + half), um, ctx), ctx)
+        zero = jnp.zeros_like(pprime)
+        return (
+            select(first, ppn, zero),
+            select(first, bn, zero),
+            select(hi_sel, mont_mul(s_mult, um, ctx), s_mult),
+        )
+
+    _ROUND_FNS[key] = (emit, fold)
+    return emit, fold
+
+
+_ROUND_FNS: Dict = {}
+
+
+def ipa_commit_open(params: ParamsIPA, rng, transcript, p_poly, p_blind: Blind, x_3: int):
     """The k-round inner product opening (commitment/prover.rs:29-153).
 
     TPU-native fold: the reference folds g in place each round
@@ -339,23 +418,26 @@ def ipa_commit_open(params: ParamsIPA, rng, transcript, p_poly: List[int], p_bli
     scalar-muls of points in round 1 alone. Instead g is NEVER folded:
     after r rounds g'[i] = (prod of the u_t selected by i's high bits) *
     g[i] (the compute_s structure, commitment/verifier.rs), so each
-    round's L/R is one MSM over the ORIGINAL static bases with
-    coefficient-product scalars - one batched 2-MSM device launch per
-    round. All vector folds (p', b, s_mult, inner products) are device
-    limb ops; only challenges, blinds, and the ~100-byte L/R points cross
-    the host boundary. Identical group elements -> identical proof bytes.
+    round's L/R is one batched 2-MSM over static bases [g..., u, w] whose
+    last two coefficients carry the z*<.,.> and blinding terms - the round
+    syncs with the host exactly once (the L/R decode the transcript needs)
+    and uploads exactly once (next round's u, u^-1, blinds, m). All vector
+    folds run through two shape-stable jitted graphs (`_ipa_round_fns`).
+    `p_poly` may be a host int list or a device FVec. Identical group
+    elements -> identical proof bytes.
     """
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from ...ops.field_jax import FieldCtx, add_mod, mont_mul, select
-    from ...ops.limbs import NLIMBS as NLIMBS_IPA, ints_to_limbs
-    from ...ops.polyeval import _tree_sum, batch_eval_mont, device_powers
+    from ...ops.field_jax import FieldCtx, add_mod, mont_mul
+    from ...ops.limbs import NLIMBS as NLIMBS_IPA, int_to_limbs, ints_to_limbs
+    from ...ops.polyeval import batch_eval_mont, device_powers
+    from ...poly import FVec
 
     q = params.curve.SCALAR.MODULUS
     F = params.curve.SCALAR
     n = params.n
-    assert len(p_poly) == n
     ctx = FieldCtx(F)
 
     s_poly = [F.random(rng).v for _ in range(n)]
@@ -363,17 +445,24 @@ def ipa_commit_open(params: ParamsIPA, rng, transcript, p_poly: List[int], p_bli
 
     spm = ctx.to_mont(jnp.asarray(ints_to_limbs(s_poly)))
     s_at_x3 = ctx.decode_ints(batch_eval_mont(F, spm[None], [x_3]))[0]
-    s_poly[0] = (s_poly[0] - s_at_x3) % q
-    spm = spm.at[0].set(ctx.const(s_poly[0]))
-    s_commitment = params.commit(s_poly, Blind(s_poly_blind))
+    spm = spm.at[0].set(ctx.const((s_poly[0] - s_at_x3) % q))
+    s_commitment = params.commit_many(
+        spm[None], [Blind(s_poly_blind)], lagrange=False
+    )[0]
     transcript.write_point(s_commitment)
 
     xi = int(transcript.squeeze_challenge())
     z = int(transcript.squeeze_challenge())
 
     # p' = xi * s + p, then force p'(x_3) = 0 on the constant term
-    ppm = ctx.to_mont(jnp.asarray(ints_to_limbs([v % q for v in p_poly])))
-    pprime = add_mod(mont_mul(spm, jnp.broadcast_to(ctx.const(xi), spm.shape), ctx), ppm, ctx)
+    if isinstance(p_poly, FVec):
+        ppm = p_poly.vals
+    else:
+        assert len(p_poly) == n
+        ppm = ctx.to_mont(jnp.asarray(ints_to_limbs([v % q for v in p_poly])))
+    pprime = add_mod(
+        mont_mul(spm, jnp.broadcast_to(ctx.const(xi), spm.shape), ctx), ppm, ctx
+    )
     v0, p0 = ctx.decode_ints(
         jnp.concatenate([batch_eval_mont(F, pprime[None], [x_3]), pprime[:1]])
     )
@@ -382,56 +471,60 @@ def ipa_commit_open(params: ParamsIPA, rng, transcript, p_poly: List[int], p_bli
 
     b = device_powers(ctx.const(x_3), n, ctx)  # (n, 16) Montgomery
     s_mult = jnp.broadcast_to(ctx.one, (n, NLIMBS_IPA))  # prod of folded u_t
-    lane = jnp.arange(n, dtype=jnp.uint32)
-
-    use_pallas = jax.default_backend() == "tpu"
-    m = n
-    for _ in range(params.k):
-        half = m // 2
-        blocks = n // m
-        smv = s_mult.reshape(blocks, m, NLIMBS_IPA)
-        pp_hi = pprime[half:m]
-        pp_lo = pprime[:half]
-        wl = mont_mul(smv[:, :half], pp_hi[None], ctx)
-        wr = mont_mul(smv[:, half:], pp_lo[None], ctx)
-        zeros = jnp.zeros_like(wl)
-        w_l = jnp.concatenate([wl, zeros], axis=1).reshape(n, NLIMBS_IPA)
-        w_r = jnp.concatenate([zeros, wr], axis=1).reshape(n, NLIMBS_IPA)
-        # inner products <p'_hi, b_lo> and <p'_lo, b_hi> (Montgomery-exact)
-        iv = _tree_sum(
-            jnp.stack([
-                mont_mul(pp_hi, b[:half], ctx),
-                mont_mul(pp_lo, b[half:m], ctx),
-            ]),
-            ctx,
-            axis=1,
+    z_mont = ctx.const(z)
+    if not hasattr(params, "_bases_guw"):
+        params._bases_guw = MSMBases(
+            params.curve, params.g + [params.u, params.w]
         )
+
+    emit, fold_fn = _ipa_round_fns(F, n)
+    use_pallas = jax.default_backend() == "tpu"
+    r_mont = ctx.r_int
+
+    def upload(m_cur, l_rand, r_rand):
+        """One host->device transfer per round: m + Montgomery blinds."""
+        rows = np.zeros((3, NLIMBS_IPA), np.uint32)
+        rows[0, 0] = m_cur & 0xFFFFFFFF
+        rows[0, 1] = m_cur >> 32
+        rows[1] = int_to_limbs(l_rand * r_mont % q)
+        rows[2] = int_to_limbs(r_rand * r_mont % q)
+        return jnp.asarray(rows)
+
+    m = n
+    l_rand = F.random(rng).v
+    r_rand = F.random(rng).v
+    packed = upload(m, l_rand, r_rand)
+    for _ in range(params.k):
+        scal = emit(pprime, b, s_mult, packed[0], z_mont, packed[1:])
         if use_pallas:
             from ...ops.msm_pallas import msm_pallas_many
 
-            l_j, r_j = msm_pallas_many(jnp.stack([w_l, w_r]), params._bases_g)
+            l_j, r_j = msm_pallas_many(scal, params._bases_guw)
         else:
-            both = ctx.decode_ints(jnp.concatenate([w_l, w_r]))
-            l_j = msm(both[:n], params._bases_g, params.curve)
-            r_j = msm(both[n:], params._bases_g, params.curve)
-        value_l, value_r = ctx.decode_ints(iv)
-        l_rand = F.random(rng).v
-        r_rand = F.random(rng).v
-        l_j = l_j + params.u.mul(value_l * z % q) + params.w.mul(l_rand)
-        r_j = r_j + params.u.mul(value_r * z % q) + params.w.mul(r_rand)
+            both = ctx.decode_ints(scal.reshape(2 * (n + 2), NLIMBS_IPA))
+            pts = params.g + [params.u, params.w]
+            l_j = msm(both[: n + 2], pts, params.curve)
+            r_j = msm(both[n + 2 :], pts, params.curve)
         transcript.write_point(l_j)
         transcript.write_point(r_j)
 
         u_j = int(transcript.squeeze_challenge())
         u_j_inv = pow(u_j, -1, q)
-        um = ctx.const(u_j)
-        uim = ctx.const(u_j_inv)
-        pprime = add_mod(pp_lo, mont_mul(pp_hi, jnp.broadcast_to(uim, pp_hi.shape), ctx), ctx)
-        b = add_mod(b[:half], mont_mul(b[half:m], jnp.broadcast_to(um, (m - half, NLIMBS_IPA)), ctx), ctx)
-        hot = (lane & jnp.uint32(half)) != 0
-        s_mult = select(hot, mont_mul(s_mult, jnp.broadcast_to(um, s_mult.shape), ctx), s_mult)
+        uu = jnp.asarray(
+            np.stack(
+                [
+                    int_to_limbs(u_j * r_mont % q),
+                    int_to_limbs(u_j_inv * r_mont % q),
+                ]
+            )
+        )
+        pprime, b, s_mult = fold_fn(pprime, b, s_mult, packed[0], uu)
         f = (f + l_rand * u_j_inv + r_rand * u_j) % q
-        m = half
+        m //= 2
+        if m >= 2:  # prefetch next round; rng draw ORDER matches reference
+            l_rand = F.random(rng).v
+            r_rand = F.random(rng).v
+            packed = upload(m, l_rand, r_rand)
 
     c0 = ctx.decode_ints(pprime[:1])[0]
     transcript.write_scalar(params.curve.SCALAR(c0))
@@ -567,8 +660,9 @@ def multiopen_prove(params: ParamsIPA, rng, transcript, queries: List[ProverQuer
         q_prime = rvec if q_prime is None else q_prime * x2_s + rvec
 
     q_prime_blind = F.random(rng).v
-    q_prime_ints = q_prime.to_ints()
-    q_prime_commitment = params.commit(q_prime_ints, Blind(q_prime_blind))
+    q_prime_commitment = params.commit_many(
+        q_prime.vals[None], [Blind(q_prime_blind)], lagrange=False
+    )[0]
     transcript.write_point(q_prime_commitment)
 
     x_3 = int(transcript.squeeze_challenge())
@@ -585,7 +679,7 @@ def multiopen_prove(params: ParamsIPA, rng, transcript, queries: List[ProverQuer
         p_vec = p_vec * x4_s + poly
         p_blind = (p_blind * x_4 + blind) % q
 
-    ipa_commit_open(params, rng, transcript, p_vec.to_ints(), Blind(p_blind), x_3)
+    ipa_commit_open(params, rng, transcript, p_vec, Blind(p_blind), x_3)
 
 
 def multiopen_verify(params: ParamsIPA, transcript, queries: List[VerifierQuery], msm_acc: MSMIPA) -> GuardIPA:
