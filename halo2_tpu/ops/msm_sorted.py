@@ -338,8 +338,11 @@ def _fold_fn(curve: Type[Curve], nw: int, w_lanes: int, kb: int,
         while sh >= 1:
             side = padd(side, tuple(pltpu.roll(t, sh, 1) for t in side))
             sh //= 2
+        # all SIDE_CAP lanes now hold the side total; widen to W with a
+        # real lane-repeat (a broadcast view of a column feeds _mul_cols
+        # a (1,1)-sliced operand, an unsupported Mosaic relayout)
         side = tuple(
-            jnp.broadcast_to(t[:, 0:1], (NLIMBS, w_lanes)) for t in side
+            pltpu.repeat(t, w_lanes // SIDE_CAP, 1) for t in side
         )
         for _ in range(15):  # * 2^15
             side = padd(side, side)

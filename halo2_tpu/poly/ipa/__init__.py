@@ -440,15 +440,18 @@ def ipa_commit_open(params: ParamsIPA, rng, transcript, p_poly, p_blind: Blind, 
     n = params.n
     ctx = FieldCtx(F)
 
+    from ...utils.measure import span
+
     s_poly = [F.random(rng).v for _ in range(n)]
     s_poly_blind = F.random(rng).v
 
-    spm = ctx.to_mont(jnp.asarray(ints_to_limbs(s_poly)))
-    s_at_x3 = ctx.decode_ints(batch_eval_mont(F, spm[None], [x_3]))[0]
-    spm = spm.at[0].set(ctx.const((s_poly[0] - s_at_x3) % q))
-    s_commitment = params.commit_many(
-        spm[None], [Blind(s_poly_blind)], lagrange=False
-    )[0]
+    with span("ipa: s-poly commit", category="ipa"):
+        spm = ctx.to_mont(jnp.asarray(ints_to_limbs(s_poly)))
+        s_at_x3 = ctx.decode_ints(batch_eval_mont(F, spm[None], [x_3]))[0]
+        spm = spm.at[0].set(ctx.const((s_poly[0] - s_at_x3) % q))
+        s_commitment = params.commit_many(
+            spm[None], [Blind(s_poly_blind)], lagrange=False
+        )[0]
     transcript.write_point(s_commitment)
 
     xi = int(transcript.squeeze_challenge())
@@ -460,13 +463,14 @@ def ipa_commit_open(params: ParamsIPA, rng, transcript, p_poly, p_blind: Blind, 
     else:
         assert len(p_poly) == n
         ppm = ctx.to_mont(jnp.asarray(ints_to_limbs([v % q for v in p_poly])))
-    pprime = add_mod(
-        mont_mul(spm, jnp.broadcast_to(ctx.const(xi), spm.shape), ctx), ppm, ctx
-    )
-    v0, p0 = ctx.decode_ints(
-        jnp.concatenate([batch_eval_mont(F, pprime[None], [x_3]), pprime[:1]])
-    )
-    pprime = pprime.at[0].set(ctx.const((p0 - v0) % q))
+    with span("ipa: p' setup", category="ipa"):
+        pprime = add_mod(
+            mont_mul(spm, jnp.broadcast_to(ctx.const(xi), spm.shape), ctx), ppm, ctx
+        )
+        v0, p0 = ctx.decode_ints(
+            jnp.concatenate([batch_eval_mont(F, pprime[None], [x_3]), pprime[:1]])
+        )
+        pprime = pprime.at[0].set(ctx.const((p0 - v0) % q))
     f = (s_poly_blind * xi + p_blind.value) % q
 
     b = device_powers(ctx.const(x_3), n, ctx)  # (n, 16) Montgomery
@@ -494,8 +498,9 @@ def ipa_commit_open(params: ParamsIPA, rng, transcript, p_poly, p_blind: Blind, 
     l_rand = F.random(rng).v
     r_rand = F.random(rng).v
     packed = upload(m, l_rand, r_rand)
-    for _ in range(params.k):
-        scal = emit(pprime, b, s_mult, packed[0], z_mont, packed[1:])
+    for _round in range(params.k):
+        with span(f"ipa: round {_round} emit", category="ipa"):
+            scal = emit(pprime, b, s_mult, packed[0], z_mont, packed[1:])
         if use_pallas:
             from ...ops.msm_pallas import msm_pallas_many
 
@@ -636,6 +641,8 @@ def multiopen_prove(params: ParamsIPA, rng, transcript, queries: List[ProverQuer
         get_eval=lambda qq: None,
     )
 
+    from ...utils.measure import span
+
     x1_s = F(x_1)
     q_polys: List[Optional[FVec]] = [None] * len(point_sets)
     q_blinds = [0] * len(point_sets)
@@ -651,25 +658,30 @@ def multiopen_prove(params: ParamsIPA, rng, transcript, queries: List[ProverQuer
 
     x2_s = F(x_2)
     q_prime: Optional[FVec] = None
-    for points, poly in zip(point_sets, q_polys):
-        reduced = poly.vals
-        for point in points:
-            # same length with top coefficient zeroed, so folds stay aligned
-            reduced = kate_division_mont(field, reduced, point)
-        rvec = FVec(field, reduced)
-        q_prime = rvec if q_prime is None else q_prime * x2_s + rvec
+    with span("multiopen: kate divisions", category="ipa"):
+        for points, poly in zip(point_sets, q_polys):
+            reduced = poly.vals
+            for point in points:
+                # same length with top coeff zeroed, so folds stay aligned
+                reduced = kate_division_mont(field, reduced, point)
+            rvec = FVec(field, reduced)
+            q_prime = rvec if q_prime is None else q_prime * x2_s + rvec
 
     q_prime_blind = F.random(rng).v
-    q_prime_commitment = params.commit_many(
-        q_prime.vals[None], [Blind(q_prime_blind)], lagrange=False
-    )[0]
+    with span("multiopen: q' commit", category="ipa"):
+        q_prime_commitment = params.commit_many(
+            q_prime.vals[None], [Blind(q_prime_blind)], lagrange=False
+        )[0]
     transcript.write_point(q_prime_commitment)
 
     x_3 = int(transcript.squeeze_challenge())
-    stacked = jnp.stack([qp.vals for qp in q_polys])
-    ctx = q_prime.ctx
-    for ev in ctx.decode_ints(batch_eval_mont(field, stacked, [x_3] * len(q_polys))):
-        transcript.write_scalar(F(ev))
+    with span("multiopen: q evals at x3", category="ipa"):
+        stacked = jnp.stack([qp.vals for qp in q_polys])
+        ctx = q_prime.ctx
+        for ev in ctx.decode_ints(
+            batch_eval_mont(field, stacked, [x_3] * len(q_polys))
+        ):
+            transcript.write_scalar(F(ev))
 
     x_4 = int(transcript.squeeze_challenge())
     x4_s = F(x_4)
