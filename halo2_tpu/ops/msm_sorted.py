@@ -70,6 +70,24 @@ def _cap_for(n: int, w: int) -> int:
     return int(math.ceil((lam + 6.0 * math.sqrt(lam) + 8.0) / 8.0)) * 8
 
 
+def _cap_classes(n: int, w_lanes: int, kb: int, q: int):
+    """Windows grouped by lane capacity.
+
+    Digits of windows 0..14 are uniform over [-2^15, 2^15] so lane
+    occupancy is Poisson(n/W); the TOP window's digit is bounded by the
+    modulus' top limb (e.g. 0x4000 for Pasta), concentrating its points
+    on the first R_top buckets - its capacity must scale by 2^15/R_top
+    or it overflows DETERMINISTICALLY (not a tail event).
+    Returns [(first_window, n_windows, cap), ...] in window order."""
+    nw = _num_windows(q)
+    cap_uni = _cap_for(n, w_lanes)
+    r_top = ((q - 1) >> 240) + 2  # top recoded digit range incl. carry
+    lam_top = max(1.0, n * kb / float(r_top))
+    cap_top = int(math.ceil((lam_top + 6.0 * math.sqrt(lam_top) + 8.0) / 8.0)) * 8
+    assert nw == 16, "17-window curves fall back to the unsorted kernel"
+    return ((0, 15, cap_uni), (15, 1, cap_top))
+
+
 def _num_windows(q: int) -> int:
     # the top recoded digit fits window 15 iff (q-1)'s top limb + carry
     # stays below 2^15 (true for Pasta & BN254-Fr; secp256k1 needs 17)
@@ -97,9 +115,10 @@ def _recode_signed(limbs: jnp.ndarray, nw: int):
 
 
 @lru_cache(maxsize=None)
-def _prestage_fn(n: int, nw: int, cap: int, w_lanes: int, kb: int):
-    """Jitted: canonical scalar limbs + row-major base tables -> kernel
-    inputs (grids, meta, side lists, overflow flag)."""
+def _prestage_fn(n: int, nw: int, classes: tuple, w_lanes: int, kb: int):
+    """Jitted: canonical scalar limbs + row-major base tables -> per-class
+    kernel inputs (grids, meta), side lists, overflow flag. `classes` is
+    ((first_window, n_windows, cap), ...) from _cap_classes."""
 
     def run(limbs, px_rows, py_rows):
         e = _recode_signed(limbs, nw)  # (nw, n)
@@ -111,45 +130,53 @@ def _prestage_fn(n: int, nw: int, cap: int, w_lanes: int, kb: int):
         gstart = jax.vmap(lambda sb: jnp.searchsorted(sb, queries))(sorted_b)
         gcnt = gstart[:, 1:] - gstart[:, :-1]  # (nw, w_lanes)
         side_cnt = n - gstart[:, w_lanes]
+        caps = jnp.asarray(
+            [cap for (w0, cnt, cap) in classes for _ in range(cnt)],
+            gcnt.dtype,
+        )
         overflow = jnp.max(
-            (jnp.max(gcnt, axis=1) > cap) | (side_cnt > SIDE_CAP)
+            (jnp.max(gcnt, axis=1) > caps) | (side_cnt > SIDE_CAP)
         )
 
-        r_iota = jnp.arange(cap)[:, None]  # (cap, 1)
-        gx, gy, gm = [], [], []
-        sx, sy, sv = [], [], []
-        for w in range(nw):
+        def build_window(w, cap):
+            r_iota = jnp.arange(cap)[:, None]  # (cap, 1)
             pos = gstart[w, :-1][None, :] + r_iota  # (cap, w_lanes)
             valid = pos < gstart[w, 1:][None, :]
             src = jnp.take(order[w], jnp.clip(pos, 0, n - 1).reshape(-1))
             bsub = (jnp.take(bucket[w], src) % kb).astype(U32)
             sign = (jnp.take(e[w], src) < 0).astype(U32)
             meta = bsub | (sign << 8) | (valid.reshape(-1).astype(U32) << 9)
-            gx.append(
-                jnp.take(px_rows, src, axis=0).reshape(cap, w_lanes, NLIMBS)
+            return (
+                jnp.take(px_rows, src, axis=0).reshape(cap, w_lanes, NLIMBS),
+                jnp.take(py_rows, src, axis=0).reshape(cap, w_lanes, NLIMBS),
+                meta.reshape(cap, w_lanes),
             )
-            gy.append(
-                jnp.take(py_rows, src, axis=0).reshape(cap, w_lanes, NLIMBS)
+
+        grids = []
+        for w0, cnt, cap in classes:
+            gx, gy, gm = zip(*(build_window(w, cap) for w in range(w0, w0 + cnt)))
+            grid_x = jnp.stack(gx).transpose(0, 1, 3, 2)  # (cnt, cap, L, W)
+            grid_y = jnp.stack(gy).transpose(0, 1, 3, 2)
+            # meta replicated to 8 sublane rows: the kernel must read it
+            # from a STATIC sublane offset (Mosaic cannot broadcast a
+            # dynamically indexed row), and (8, W) trailing dims tile
+            meta = jnp.broadcast_to(
+                jnp.stack(gm)[:, :, None, :], (cnt, cap, 8, w_lanes)
             )
-            gm.append(meta.reshape(cap, w_lanes))
+            grids.append((grid_x, grid_y, meta))
+
+        sx, sy, sv = [], [], []
+        for w in range(nw):
             spos = gstart[w, w_lanes] + jnp.arange(SIDE_CAP)
             svalid = spos < n
             ssrc = jnp.take(order[w], jnp.clip(spos, 0, n - 1))
             sx.append(jnp.take(px_rows, ssrc, axis=0))
             sy.append(jnp.take(py_rows, ssrc, axis=0))
             sv.append(svalid)
-        grid_x = jnp.stack(gx).transpose(0, 1, 3, 2)  # (nw, cap, L, W)
-        grid_y = jnp.stack(gy).transpose(0, 1, 3, 2)
-        # meta replicated to 8 sublane rows: the kernel must read it from a
-        # STATIC sublane offset (Mosaic cannot broadcast a dynamically
-        # indexed row across sublanes), and (8, W) trailing dims tile
-        meta = jnp.broadcast_to(
-            jnp.stack(gm)[:, :, None, :], (nw, cap, 8, w_lanes)
-        )
         side_x = jnp.stack(sx).transpose(0, 2, 1)  # (nw, L, SIDE_CAP)
         side_y = jnp.stack(sy).transpose(0, 2, 1)
         side_valid = jnp.stack(sv)  # (nw, SIDE_CAP) bool
-        return grid_x, grid_y, meta, side_x, side_y, side_valid, overflow
+        return grids, side_x, side_y, side_valid, overflow
 
     return jax.jit(run)
 
@@ -452,7 +479,28 @@ def _horner_fn(curve: Type[Curve], nw: int, w_lanes: int, interpret: bool):
 
 
 class BucketOverflow(RuntimeError):
-    """Poisson capacity exceeded (structured scalars); caller falls back."""
+    """Capacity exceeded (structured scalars); caller falls back."""
+
+
+@lru_cache(maxsize=None)
+def _finalize_fn(curve: Type[Curve]):
+    """One jitted graph: lane-0 projective total + overflow flag ->
+    (33,) packed [affine x limbs | affine y limbs | is_identity | ovf]."""
+    fctx = CurveCtx(curve).fctx
+
+    @jax.jit
+    def run(tx, ty, tz, overflow):
+        x = tx[:, 0]
+        y = ty[:, 0]
+        z = tz[:, 0]
+        zinv = inv_mod(z, fctx)
+        xa = from_mont(mont_mul(x, zinv, fctx), fctx)
+        ya = from_mont(mont_mul(y, zinv, fctx), fctx)
+        zz = is_zero(z, fctx).astype(U32).reshape(1)
+        ovf = overflow.astype(U32).reshape(1)
+        return jnp.concatenate([xa, ya, zz, ovf])
+
+    return run
 
 
 def msm_sorted(
@@ -462,41 +510,41 @@ def msm_sorted(
     w_lanes: int = DEF_W,
 ) -> Point:
     """One MSM: (n, 16) canonical u32 scalar limbs x row-major device base
-    tables -> host Point. Raises BucketOverflow if the capacity was
+    tables -> host Point. Raises BucketOverflow if a capacity was
     exceeded (caller falls back to the unsorted kernel)."""
     curve = bases.curve
+    q = curve.SCALAR.MODULUS
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     kb = (1 << BUCKET_BITS) // w_lanes
     n = scal_canon.shape[0]
-    cap = _cap_for(n, w_lanes)
-    nw = _num_windows(curve.SCALAR.MODULUS)
+    nw = _num_windows(q)
+    if nw != 16:
+        raise BucketOverflow("17-window curve: unsorted kernel handles it")
+    classes = _cap_classes(n, w_lanes, kb, q)
     px_rows, py_rows = bases.device_rows()
     assert px_rows.shape[0] >= n, "more scalars than bases"
     if px_rows.shape[0] != n:  # an MSM over n scalars uses the first n bases
         px_rows = px_rows[:n]
         py_rows = py_rows[:n]
 
-    gx, gy, meta, sx, sy, sv, overflow = _prestage_fn(n, nw, cap, w_lanes, kb)(
+    grids, sx, sy, sv, overflow = _prestage_fn(n, nw, classes, w_lanes, kb)(
         scal_canon, px_rows, py_rows
     )
-    bx, by, bz = _accum_fn(curve, nw, cap, w_lanes, kb, interpret)(gx, gy, meta)
+    buckets = [
+        _accum_fn(curve, cnt, cap, w_lanes, kb, interpret)(gx, gy, meta)
+        for (_, cnt, cap), (gx, gy, meta) in zip(classes, grids)
+    ]
+    bx, by, bz = (
+        jnp.concatenate([b[i] for b in buckets], axis=0) for i in range(3)
+    )
     wx, wy, wz = _fold_fn(curve, nw, w_lanes, kb, interpret)(
         bx, by, bz, sx, sy, sv
     )
     tx, ty, tz = _horner_fn(curve, nw, w_lanes, interpret)(wx, wy, wz)
 
     # single readback: affine coords + identity flag + overflow flag
-    fctx = CurveCtx(curve).fctx
-    x = tx[:, 0]
-    y = ty[:, 0]
-    z = tz[:, 0]
-    zinv = inv_mod(z, fctx)
-    xa = from_mont(mont_mul(x, zinv, fctx), fctx)
-    ya = from_mont(mont_mul(y, zinv, fctx), fctx)
-    zz = is_zero(z[None, :], fctx).astype(U32).reshape(1)[:1]
-    ovf = overflow.astype(U32).reshape(1)
-    packed = jnp.concatenate([xa, ya, zz, ovf])
+    packed = _finalize_fn(curve)(tx, ty, tz, overflow)
     host = np.asarray(jax.device_get(packed))
     if host[2 * NLIMBS + 1]:
         raise BucketOverflow("bucket capacity exceeded (structured scalars)")

@@ -22,7 +22,7 @@ from halo2_tpu.ops.limbs import ints_to_limbs
 from halo2_tpu.ops.msm import MSMBases, msm_host
 from halo2_tpu.ops.msm_sorted import (
     SIDE_CAP,
-    _cap_for,
+    _cap_classes,
     _num_windows,
     _prestage_fn,
     _recode_signed,
@@ -66,16 +66,22 @@ def test_prestage_grid_matches_numpy():
     scalars = _edge_scalars(rng, n)
     limbs = jnp.asarray(ints_to_limbs(scalars))
     nw = _num_windows(Q)
-    cap = _cap_for(n, w_lanes)
+    classes = _cap_classes(n, w_lanes, kb, Q)
     # fake "points": x-row i = i, y-row i = 2i (recognizable payloads)
     px = jnp.asarray(np.tile(np.arange(n, dtype=np.uint32)[:, None], (1, 16)))
     py = px * 2
 
-    gx, gy, meta, sx, sy, sv, ovf = jax.jit(
-        _prestage_fn(n, nw, cap, w_lanes, kb)
-    )(limbs, px, py)
-    gx, meta, sx, sv = map(np.asarray, (gx, meta, sx, sv))
-    meta = meta[:, :, 0, :]  # replicated sublane rows
+    grids, sx, sy, sv, ovf = _prestage_fn(n, nw, classes, w_lanes, kb)(
+        limbs, px, py
+    )
+    # stitch classes back into per-window arrays (caps may differ: pad)
+    cap = max(c for (_, _, c) in classes)
+    gx = np.zeros((nw, cap, 16, w_lanes), np.uint32)
+    meta = np.zeros((nw, cap, w_lanes), np.uint32)
+    for (w0, cnt, ccap), (cgx, cgy, cmeta) in zip(classes, grids):
+        gx[w0 : w0 + cnt, :ccap] = np.asarray(cgx)
+        meta[w0 : w0 + cnt, :ccap] = np.asarray(cmeta)[:, :, 0, :]
+    sx, sv = np.asarray(sx), np.asarray(sv)
     assert not bool(np.asarray(ovf))
 
     e = np.asarray(_recode_signed(limbs, nw))
