@@ -120,14 +120,22 @@ def _prestage_fn(n: int, nw: int, classes: tuple, w_lanes: int, kb: int):
     kernel inputs (grids, meta), side lists, overflow flag. `classes` is
     ((first_window, n_windows, cap), ...) from _cap_classes."""
 
+    assert n <= 1 << 21, "packed lane-sort key holds 11 + 21 bits"
+
     def run(limbs, px_rows, py_rows):
         e = _recode_signed(limbs, nw)  # (nw, n)
         bucket = jnp.abs(e)  # (nw, n) in [0, 2^15]
-        order = jax.vmap(jnp.argsort)(bucket)  # (nw, n)
-        sorted_b = jnp.take_along_axis(bucket, order, axis=1)
-        # lane boundaries: gstart[w, l] = first sorted pos with bucket >= kb*l
-        queries = (kb * jnp.arange(w_lanes + 1)).astype(sorted_b.dtype)
-        gstart = jax.vmap(lambda sb: jnp.searchsorted(sb, queries))(sorted_b)
+        # single-u32 value sort of (lane << 21 | index): accumulation is
+        # commutative so only LANE grouping matters, and sorting one u32
+        # beats argsort's key+payload pair sort ~2x
+        lane_of = (bucket // kb).astype(U32)  # [0, W] incl. the side "lane"
+        idx = jnp.arange(n, dtype=U32)[None, :]
+        packed = jnp.sort((lane_of << 21) | idx, axis=1)
+        order = packed & U32((1 << 21) - 1)  # (nw, n)
+        slane = packed >> 21
+        # lane boundaries: gstart[w, l] = first sorted pos with lane >= l
+        queries = jnp.arange(w_lanes + 1, dtype=U32)
+        gstart = jax.vmap(lambda sl: jnp.searchsorted(sl, queries))(slane)
         gcnt = gstart[:, 1:] - gstart[:, :-1]  # (nw, w_lanes)
         side_cnt = n - gstart[:, w_lanes]
         caps = jnp.asarray(
@@ -143,27 +151,26 @@ def _prestage_fn(n: int, nw: int, classes: tuple, w_lanes: int, kb: int):
             pos = gstart[w, :-1][None, :] + r_iota  # (cap, w_lanes)
             valid = pos < gstart[w, 1:][None, :]
             src = jnp.take(order[w], jnp.clip(pos, 0, n - 1).reshape(-1))
+            sb = kb.bit_length() - 1
             bsub = (jnp.take(bucket[w], src) % kb).astype(U32)
             sign = (jnp.take(e[w], src) < 0).astype(U32)
-            meta = bsub | (sign << 8) | (valid.reshape(-1).astype(U32) << 9)
-            return (
-                jnp.take(px_rows, src, axis=0).reshape(cap, w_lanes, NLIMBS),
-                jnp.take(py_rows, src, axis=0).reshape(cap, w_lanes, NLIMBS),
-                meta.reshape(cap, w_lanes),
+            meta = bsub | (sign << sb) | (valid.reshape(-1).astype(U32) << (sb + 1))
+            # meta rides the unused high 16 bits of x-limb 0: no separate
+            # meta tensor, no extra HBM traffic, and the kernel reads it
+            # from a static sublane row
+            gx = jnp.take(px_rows, src, axis=0).reshape(cap, w_lanes, NLIMBS)
+            gx = gx.at[:, :, 0].set(
+                gx[:, :, 0] | (meta.reshape(cap, w_lanes) << 16)
             )
+            gy = jnp.take(py_rows, src, axis=0).reshape(cap, w_lanes, NLIMBS)
+            return gx, gy
 
         grids = []
         for w0, cnt, cap in classes:
-            gx, gy, gm = zip(*(build_window(w, cap) for w in range(w0, w0 + cnt)))
+            gx, gy = zip(*(build_window(w, cap) for w in range(w0, w0 + cnt)))
             grid_x = jnp.stack(gx).transpose(0, 1, 3, 2)  # (cnt, cap, L, W)
             grid_y = jnp.stack(gy).transpose(0, 1, 3, 2)
-            # meta replicated to 8 sublane rows: the kernel must read it
-            # from a STATIC sublane offset (Mosaic cannot broadcast a
-            # dynamically indexed row), and (8, W) trailing dims tile
-            meta = jnp.broadcast_to(
-                jnp.stack(gm)[:, :, None, :], (cnt, cap, 8, w_lanes)
-            )
-            grids.append((grid_x, grid_y, meta))
+            grids.append((grid_x, grid_y))
 
         sx, sy, sv = [], [], []
         for w in range(nw):
@@ -191,7 +198,7 @@ def _accum_fn(curve: Type[Curve], nw: int, cap: int, w_lanes: int, kb: int,
               interpret: bool):
     consts = _consts5(curve)
 
-    def kernel(gx, gy, mref, cref, ox, oy, oz):
+    def kernel(gx, gy, cref, ox, oy, oz):
         r = pl.program_id(1)
         nprime = cref[0][:, None]
         plimbs = cref[1][:, None]
@@ -205,10 +212,12 @@ def _accum_fn(curve: Type[Curve], nw: int, cap: int, w_lanes: int, kb: int,
             oy[:] = jnp.broadcast_to(onem[None, None], (1, kb, NLIMBS, w_lanes))
             oz[:] = jnp.zeros((1, kb, NLIMBS, w_lanes), U32)
 
-        m = mref[0, 0, 0:1]  # (1, W)
+        raw = gx[0, 0]
+        sb = kb.bit_length() - 1
+        m = raw[0:1] >> 16  # meta in x-limb-0's high bits; (1, W)
         sub = m & U32(kb - 1)
-        sign = (m >> 8) & 1
-        valid = (m >> 9) & 1
+        sign = (m >> sb) & 1
+        valid = (m >> (sb + 1)) & 1
         iota = jax.lax.broadcasted_iota(U32, (kb, 1, w_lanes), 0)
         mask = iota == sub[None]  # (kb, 1, W)
 
@@ -216,7 +225,7 @@ def _accum_fn(curve: Type[Curve], nw: int, cap: int, w_lanes: int, kb: int,
             v = jnp.where(mask, ref[0].astype(I32), 0)
             return jnp.sum(v, axis=0).astype(U32)
 
-        px = gx[0, 0]
+        px = raw & U32(0xFFFF)
         py = gy[0, 0]
         py = jnp.where(
             sign == 1,
@@ -234,18 +243,13 @@ def _accum_fn(curve: Type[Curve], nw: int, cap: int, w_lanes: int, kb: int,
         (1, 1, NLIMBS, w_lanes), lambda w, r: (w, r, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    mspec = pl.BlockSpec(
-        (1, 1, 8, w_lanes),
-        lambda w, r: (w, r, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
     cspec = pl.BlockSpec((5, NLIMBS), lambda w, r: (0, 0), memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec(
         (1, kb, NLIMBS, w_lanes), lambda w, r: (w, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
-    def run(grid_x, grid_y, meta):
+    def run(grid_x, grid_y):
         out_shape = tuple(
             jax.ShapeDtypeStruct((nw, kb, NLIMBS, w_lanes), U32)
             for _ in range(3)
@@ -253,7 +257,7 @@ def _accum_fn(curve: Type[Curve], nw: int, cap: int, w_lanes: int, kb: int,
         return pl.pallas_call(
             kernel,
             grid=(nw, cap),
-            in_specs=[gspec, gspec, mspec, cspec],
+            in_specs=[gspec, gspec, cspec],
             out_specs=(ospec, ospec, ospec),
             out_shape=out_shape,
             interpret=interpret,
@@ -263,7 +267,7 @@ def _accum_fn(curve: Type[Curve], nw: int, cap: int, w_lanes: int, kb: int,
                 vmem_limit_bytes=110 * 1024 * 1024,
                 dimension_semantics=("arbitrary", "arbitrary"),
             ),
-        )(grid_x, grid_y, meta, consts)
+        )(grid_x, grid_y, consts)
 
     return jax.jit(run)
 
@@ -532,8 +536,8 @@ def msm_sorted(
         scal_canon, px_rows, py_rows
     )
     buckets = [
-        _accum_fn(curve, cnt, cap, w_lanes, kb, interpret)(gx, gy, meta)
-        for (_, cnt, cap), (gx, gy, meta) in zip(classes, grids)
+        _accum_fn(curve, cnt, cap, w_lanes, kb, interpret)(gx, gy)
+        for (_, cnt, cap), (gx, gy) in zip(classes, grids)
     ]
     bx, by, bz = (
         jnp.concatenate([b[i] for b in buckets], axis=0) for i in range(3)

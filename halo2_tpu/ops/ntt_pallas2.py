@@ -52,7 +52,7 @@ def _cg_stage_tables(f: int, w_f: int, p: int, r: int):
     + the slot permutation rev (output slot i holds DFT index rev[i])."""
     log_f = f.bit_length() - 1
     rev = _bitrev_perm(log_f)
-    pos = list(rev)
+    pos = [int(v) for v in rev]
     stages = []
     for s in range(log_f):
         m = 1 << s

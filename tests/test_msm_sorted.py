@@ -74,13 +74,14 @@ def test_prestage_grid_matches_numpy():
     grids, sx, sy, sv, ovf = _prestage_fn(n, nw, classes, w_lanes, kb)(
         limbs, px, py
     )
-    # stitch classes back into per-window arrays (caps may differ: pad)
+    # stitch classes back into per-window arrays (caps may differ: pad);
+    # meta rides x-limb-0's high 16 bits
     cap = max(c for (_, _, c) in classes)
     gx = np.zeros((nw, cap, 16, w_lanes), np.uint32)
-    meta = np.zeros((nw, cap, w_lanes), np.uint32)
-    for (w0, cnt, ccap), (cgx, cgy, cmeta) in zip(classes, grids):
+    for (w0, cnt, ccap), (cgx, cgy) in zip(classes, grids):
         gx[w0 : w0 + cnt, :ccap] = np.asarray(cgx)
-        meta[w0 : w0 + cnt, :ccap] = np.asarray(cmeta)[:, :, 0, :]
+    meta = gx[:, :, 0, :] >> 16
+    gx = gx & 0xFFFF
     sx, sv = np.asarray(sx), np.asarray(sv)
     assert not bool(np.asarray(ovf))
 
@@ -95,15 +96,14 @@ def test_prestage_grid_matches_numpy():
                 side.append(i)
             else:
                 by_lane.setdefault(b // kb, []).append(i)
+        sb = kb.bit_length() - 1
         for lane, members in by_lane.items():
-            # the grid's slots for this lane = members in bucket order
-            members = sorted(members, key=lambda i: int(buckets[i]))
             got = []
             for r in range(cap):
                 m = int(meta[w, r, lane])
-                if (m >> 9) & 1:
+                if (m >> (sb + 1)) & 1:  # valid
                     got.append((int(gx[w, r, 0, lane]),
-                                m & 0xFF, (m >> 8) & 1))
+                                m & (kb - 1), (m >> sb) & 1))
             assert len(got) == len(members), (w, lane)
             assert sorted(g[0] for g in got) == sorted(members)
             for idx, sub, sign in got:
