@@ -308,17 +308,22 @@ def msm(
             return msm_host(scalars, host_points[:n], curve)
         on_tpu = jax.default_backend() == "tpu"
         if impl == "sorted" or (
-            impl in ("auto", "pallas") and on_tpu and n >= (1 << 14)
+            impl in ("auto", "pallas") and on_tpu and n >= (1 << 16)
         ):
             from .limbs import ints_to_limbs
             from .msm_sorted import BucketOverflow, msm_sorted
 
             q = curve.SCALAR.MODULUS
-            canon = jnp.asarray(ints_to_limbs([int(s) % q for s in scalars]))
-            try:
-                return msm_sorted(canon, bases)
-            except BucketOverflow:
-                pass  # structured scalars: unsorted kernel below
+            ints = [int(s) % q for s in scalars]
+            # cheap host pre-check: small/structured scalars (selector or
+            # constant columns) concentrate digits and would overflow the
+            # sorted kernel's Poisson capacities after a wasted compile
+            if impl == "sorted" or max(ints, default=0) >= (1 << 128):
+                canon = jnp.asarray(ints_to_limbs(ints))
+                try:
+                    return msm_sorted(canon, bases)
+                except BucketOverflow:
+                    pass  # unsorted kernel below
         if impl == "pallas" or (impl == "auto" and on_tpu):
             from .msm_pallas import msm_pallas
 

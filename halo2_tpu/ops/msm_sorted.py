@@ -127,17 +127,23 @@ def _prestage_fn(n: int, nw: int, classes: tuple, w_lanes: int, kb: int):
         bucket = jnp.abs(e)  # (nw, n) in [0, 2^15]
         # single-u32 value sort of (lane << 21 | index): accumulation is
         # commutative so only LANE grouping matters, and sorting one u32
-        # beats argsort's key+payload pair sort ~2x
-        lane_of = (bucket // kb).astype(U32)  # [0, W] incl. the side "lane"
+        # beats argsort's key+payload pair sort ~2x. Zero digits sort to a
+        # discard lane PAST the side lane: real columns are often mostly
+        # zeros (selectors, sparse advice), which would deterministically
+        # overflow lane 0's Poisson capacity - and they contribute nothing.
+        lane_of = jnp.where(
+            bucket == 0, U32(w_lanes + 1), (bucket // kb).astype(U32)
+        )
         idx = jnp.arange(n, dtype=U32)[None, :]
         packed = jnp.sort((lane_of << 21) | idx, axis=1)
         order = packed & U32((1 << 21) - 1)  # (nw, n)
         slane = packed >> 21
-        # lane boundaries: gstart[w, l] = first sorted pos with lane >= l
-        queries = jnp.arange(w_lanes + 1, dtype=U32)
+        # lane boundaries: gstart[w, l] = first sorted pos with lane >= l;
+        # [gstart[W], gstart[W+1]) = side list, beyond = discarded zeros
+        queries = jnp.arange(w_lanes + 2, dtype=U32)
         gstart = jax.vmap(lambda sl: jnp.searchsorted(sl, queries))(slane)
-        gcnt = gstart[:, 1:] - gstart[:, :-1]  # (nw, w_lanes)
-        side_cnt = n - gstart[:, w_lanes]
+        gcnt = gstart[:, 1:w_lanes + 1] - gstart[:, :w_lanes]
+        side_cnt = gstart[:, w_lanes + 1] - gstart[:, w_lanes]
         caps = jnp.asarray(
             [cap for (w0, cnt, cap) in classes for _ in range(cnt)],
             gcnt.dtype,
@@ -148,8 +154,8 @@ def _prestage_fn(n: int, nw: int, classes: tuple, w_lanes: int, kb: int):
 
         def build_window(w, cap):
             r_iota = jnp.arange(cap)[:, None]  # (cap, 1)
-            pos = gstart[w, :-1][None, :] + r_iota  # (cap, w_lanes)
-            valid = pos < gstart[w, 1:][None, :]
+            pos = gstart[w, :w_lanes][None, :] + r_iota  # (cap, w_lanes)
+            valid = pos < gstart[w, 1 : w_lanes + 1][None, :]
             src = jnp.take(order[w], jnp.clip(pos, 0, n - 1).reshape(-1))
             sb = kb.bit_length() - 1
             bsub = (jnp.take(bucket[w], src) % kb).astype(U32)
@@ -175,7 +181,7 @@ def _prestage_fn(n: int, nw: int, classes: tuple, w_lanes: int, kb: int):
         sx, sy, sv = [], [], []
         for w in range(nw):
             spos = gstart[w, w_lanes] + jnp.arange(SIDE_CAP)
-            svalid = spos < n
+            svalid = spos < gstart[w, w_lanes + 1]  # zeros lie beyond
             ssrc = jnp.take(order[w], jnp.clip(spos, 0, n - 1))
             sx.append(jnp.take(px_rows, ssrc, axis=0))
             sy.append(jnp.take(py_rows, ssrc, axis=0))

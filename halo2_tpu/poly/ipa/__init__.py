@@ -646,6 +646,8 @@ def multiopen_prove(params: ParamsIPA, rng, transcript, queries: List[ProverQuer
     x1_s = F(x_1)
     q_polys: List[Optional[FVec]] = [None] * len(point_sets)
     q_blinds = [0] * len(point_sets)
+    _qspan = span("multiopen: q-poly folds", category="ipa")
+    _qspan.__enter__()
     for cd in poly_map:
         pid, blind_v = cd.commitment
         coeffs = poly_cache[pid]
@@ -655,6 +657,7 @@ def multiopen_prove(params: ParamsIPA, rng, transcript, queries: List[ProverQuer
         else:
             q_polys[si] = q_polys[si] * x1_s + coeffs
         q_blinds[si] = (q_blinds[si] * x_1 + blind_v) % q
+    _qspan.__exit__(None, None, None)
 
     x2_s = F(x_2)
     q_prime: Optional[FVec] = None

@@ -94,7 +94,7 @@ def test_prestage_grid_matches_numpy():
             b = int(buckets[i])
             if b == (1 << 15):
                 side.append(i)
-            else:
+            elif b != 0:  # zero digits are discarded (contribute nothing)
                 by_lane.setdefault(b // kb, []).append(i)
         sb = kb.bit_length() - 1
         for lane, members in by_lane.items():
