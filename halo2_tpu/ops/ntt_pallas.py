@@ -279,8 +279,11 @@ class PallasNttPlan:
         if with_tw:
             tw = lvl["inter"]
             tw_width = lvl["tw_width"]
-            if W < tw_width:
-                # small batch: a single W-wide block; period g divides W
+            if W < LANES:
+                # batch < one lane tile: a single narrow block; period g
+                # (<= batch = W) divides W. Slicing when W == 128 but
+                # g > 128 truncated the twiddle pattern (wrong transforms
+                # for n with a > 2^8 second factor - latent since round 1)
                 tw = tw[:, :, :W]
                 tw_width = W
             nblk = max(1, tw_width // W)

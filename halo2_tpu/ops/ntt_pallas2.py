@@ -200,8 +200,12 @@ class CgNttPlan:
         if with_tw:
             tw = lvl["inter"]
             tw_width = lvl["tw_width"]
-            if W < tw_width:
-                tw = tw[:, :, :W]  # period g divides W
+            if W < LANES:
+                # batch < one lane tile: a single narrow block whose j2
+                # period g (<= batch = W) divides W. Slicing when W == 128
+                # but g > 128 would TRUNCATE the twiddle pattern - the
+                # round-1..3 fused-NTT correctness bug at extended sizes.
+                tw = tw[:, :, :W]
                 tw_width = W
             nblk = max(1, tw_width // W)
             in_specs.append(

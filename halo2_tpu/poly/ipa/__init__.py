@@ -482,7 +482,10 @@ def ipa_commit_open(params: ParamsIPA, rng, transcript, p_poly, p_blind: Blind, 
         )
 
     emit, fold_fn = _ipa_round_fns(F, n)
-    use_pallas = jax.default_backend() == "tpu"
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("H2_IPA_HOST") != "1"  # debug: force host L/R
+    )
     r_mont = ctx.r_int
 
     def upload(m_cur, l_rand, r_rand):

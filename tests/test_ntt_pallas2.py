@@ -36,8 +36,12 @@ def test_cg_stage_tables_invariant():
         assert sorted(int(v) for v in rev) == list(range(f))
 
 
-@pytest.mark.parametrize("k", [3, 6, 7])
+@pytest.mark.parametrize("k", [3, 6, 7, 11])
 def test_cg_matches_jnp_canonical(k):
+    # k=11 with MAX_LOG_F=3 gives a level with g=256 > LANES, exercising
+    # the multi-block inter-twiddle indexing (nblk >= 2) whose truncation
+    # broke every fused-NTT transform with a second factor > 2^8 (the
+    # round-4 k=14 proof failure; latent in ntt_pallas.py since round 1)
     p = Fq.MODULUS
     ctx = FieldCtx(Fq)
     rng = np.random.default_rng(1)
