@@ -70,6 +70,24 @@ class CurveCtx:
             jnp.asarray(ints_to_limbs(zs)),
         )
 
+    def _decode_packed_fn(self):
+        """One jitted graph for the affine decode: the eager chain
+        (Fermat-inversion scan + muls) costs ~2 s per call dispatched
+        op-by-op through the tunnel runtime."""
+        if not hasattr(self, "_decode_jit"):
+            fctx = self.fctx
+
+            @jax.jit
+            def run(x, y, z):
+                zinv = inv_mod(z, fctx)
+                xa = from_mont(mont_mul(x, zinv, fctx), fctx).reshape(-1, NLIMBS)
+                ya = from_mont(mont_mul(y, zinv, fctx), fctx).reshape(-1, NLIMBS)
+                zz = is_zero(z, fctx).reshape(-1, 1).astype(jnp.uint32)
+                return jnp.concatenate([xa, ya, zz], axis=1)  # (R, 33)
+
+            self._decode_jit = run
+        return self._decode_jit
+
     def decode_points(self, pv: PointVec) -> list:
         """Projective device batch -> affine host points.
 
@@ -77,11 +95,7 @@ class CurveCtx:
         call regardless of size (tools/profile_kernels.py), so everything
         (x, y, z-is-zero flag) is packed into ONE buffer and fetched with a
         single device_get."""
-        zinv = inv_mod(pv.z, self.fctx)
-        xa = from_mont(mont_mul(pv.x, zinv, self.fctx), self.fctx).reshape(-1, NLIMBS)
-        ya = from_mont(mont_mul(pv.y, zinv, self.fctx), self.fctx).reshape(-1, NLIMBS)
-        zz = is_zero(pv.z, self.fctx).reshape(-1, 1).astype(jnp.uint32)
-        packed = jnp.concatenate([xa, ya, zz], axis=1)  # (R, 33)
+        packed = self._decode_packed_fn()(pv.x, pv.y, pv.z)
         host = np.ascontiguousarray(np.asarray(jax.device_get(packed)))
         xs = limbs_to_ints(np.ascontiguousarray(host[:, :NLIMBS]))
         ys = limbs_to_ints(np.ascontiguousarray(host[:, NLIMBS : 2 * NLIMBS]))

@@ -9,8 +9,10 @@ the sharded proof must be BYTE-IDENTICAL to the single-chip proof for the
 same ChaCha seed - pinned here on a lookup + permutation circuit over the
 8-device virtual CPU mesh.
 
-Runs in a fresh subprocess (same XLA:CPU stability workaround as
-test_parallel.py)."""
+The single-chip and mesh proofs run in SEPARATE subprocesses (XLA:CPU
+segfaults with "LLVM compilation error: Cannot allocate memory" once too
+many programs accumulate in one process; both provers together cross the
+line), comparing proof bytes through files."""
 
 import os
 import subprocess
@@ -60,24 +62,32 @@ def prove():
     create_proof(params, pk, [circuit], [[]], ChaCha20Rng(b"\\x2a" * 32), tr)
     return tr.finalize()
 
-single = prove()
-assert verify_proof(params, vk, [[]], Blake2bRead(Vesta, single)) is True
+if {mesh!r} == "mesh":
+    with use_mesh(make_mesh(8), msm_min=32):
+        proof = prove()
+else:
+    proof = prove()
+    assert verify_proof(params, vk, [[]], Blake2bRead(Vesta, proof)) is True
 
-with use_mesh(make_mesh(8), msm_min=32):
-    sharded = prove()
-
-assert sharded == single, "mesh proof bytes differ from single-chip"
+open({out!r}, "wb").write(proof)
 print("OK")
 """
 
 
-def test_mesh_proof_bytes_equal_single_chip(tmp_path):
-    env = dict(os.environ)
+def _run(mode: str, out_path: str) -> bytes:
     cache = os.path.join(_REPO, ".jax_cache_tests")
-    script = _SCRIPT.format(repo=_REPO, cache=cache)
+    script = _SCRIPT.format(repo=_REPO, cache=cache, mesh=mode, out=out_path)
     res = subprocess.run(
         [sys.executable, "-c", script],
-        capture_output=True, text=True, timeout=3600, env=env,
+        capture_output=True, text=True, timeout=3600, env=dict(os.environ),
     )
-    assert res.returncode == 0, res.stdout + res.stderr
+    assert res.returncode == 0, res.stdout + res.stderr[-4000:]
     assert "OK" in res.stdout
+    with open(out_path, "rb") as fh:
+        return fh.read()
+
+
+def test_mesh_proof_bytes_equal_single_chip(tmp_path):
+    single = _run("single", str(tmp_path / "single.bin"))
+    sharded = _run("mesh", str(tmp_path / "mesh.bin"))
+    assert sharded == single, "mesh proof bytes differ from single-chip"
