@@ -195,11 +195,6 @@ def bench_msm(extras):
     scalars = [random.randrange(q) for _ in range(n)]
     scal_dev = jnp.asarray(ints_to_limbs(scalars))  # canonical (n,16)
 
-    # small-n exactness cross-check against the host oracle
-    sm_n = 1 << 10
-    chk = msm_sorted(scal_dev[:sm_n], small)
-    ok = chk == msm_host(scalars[:sm_n], base_pts[:sm_n], Pallas)
-
     out = msm_sorted(scal_dev, bases)  # compile + warm
     iters = 3
     t0 = time.perf_counter()
@@ -223,9 +218,18 @@ def bench_msm(extras):
         "pct_roofline": round(100 * thr / bound, 2),
         "note": "sorted signed-digit Pippenger; VPU-compute-bound "
                 "(13-mul mixed add x 16 windows x ~1.2 padding)",
-        "oracle_check_2^10": bool(ok),
         "result_nonidentity": bool(not out.is_identity()),
     }
+    emit(extras)  # headline recorded before the (compile-heavy) oracle run
+
+    # small-n exactness cross-check against the host oracle (separate
+    # kernel geometry -> its own compile; the kernel is also oracle-pinned
+    # in tests/test_msm_sorted.py on real hardware)
+    sm_n = 1 << 10
+    chk = msm_sorted(scal_dev[:sm_n], small)
+    extras["msm"]["oracle_check_2^10"] = bool(
+        chk == msm_host(scalars[:sm_n], base_pts[:sm_n], Pallas)
+    )
 
 
 def bench_proof(extras):
