@@ -23,9 +23,15 @@ MSM bucket scan are bandwidth-bound at the (n,16)-uint32 limb layout):
     bound = BW / (3 * 64 B * nwin) points/s (buckets live in registers/VMEM
     in the ideal kernel; the current kernel spills them, see extras).
 
-Sections and knobs: BENCH=ntt,msm,proof  BENCH_K (NTT size, default 20)
-BENCH_MSM_K (default 20)  BENCH_PROOF_K (default 14)  BENCH_BUDGET_S
-(default 450: later sections are skipped when the budget is spent).
+Sections and knobs: BENCH=proof,scaling,msm,ntt  BENCH_K (NTT size,
+default 20)  BENCH_MSM_K (default 20)  BENCH_PROOF_K (default 14)
+BENCH_BUDGET_S (default 1800: later sections are skipped when the budget
+is spent).
+
+Section ORDER is proof, scaling, msm, ntt — the two never-yet-recorded
+north stars run first (VERDICT r4 #1: four rounds of fixed ntt→msm→proof
+ordering starved the headline proof metric every time; msm/ntt already
+have recorded numbers in BENCH_r01..r04).
 
 Output protocol (criterion-style always-report, reference
 halo2_proofs/benches/plonk.rs:265-302): a complete JSON line is printed
@@ -71,7 +77,7 @@ MSM_ANCHOR = 1.5e6  # points/s, Rust best_multiexp class, 2^20
 PROOF_ANCHOR_S = 30.0  # seconds, Rust IPA prover class, k=14
 
 T0 = time.time()
-BUDGET = float(os.environ.get("BENCH_BUDGET_S", "450"))
+BUDGET = float(os.environ.get("BENCH_BUDGET_S", "1800"))
 
 
 def emit(extras) -> None:
@@ -241,6 +247,8 @@ def bench_proof(extras):
     from halo2_tpu.transcript import Blake2bRead, Blake2bWrite
     from halo2_tpu.utils.chacha import ChaCha20Rng
 
+    from halo2_tpu.utils.measure import get_records, reset_records
+
     from plonk_bench import bench_circuit_for_k
 
     K = int(os.environ.get("BENCH_PROOF_K", "14"))
@@ -258,30 +266,43 @@ def bench_proof(extras):
         create_proof(params, pk, [circuit], [[]], ChaCha20Rng(b"\x2a" * 32), tr)
         return tr.finalize()
 
+    reset_records()
     t0 = time.perf_counter()
     proof = prove()  # cold: pays trace + compile
     t_cold = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    proof = prove()  # warm: steady-state serving latency
-    t_warm = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    ok = verify_proof(params, vk, [[]], Blake2bRead(Vesta, proof))
-    t_verify = time.perf_counter() - t0
-    assert ok is True
-
+    stages_cold = {k: round(v, 2) for k, v in get_records().items()}
+    # flush a record now: the warm prove must never cost us the cold number
     extras["proof"] = {
         "metric": f"proof_k{K}_latency",
-        "value": round(t_warm, 2),
+        "value": round(t_cold, 2),
         "unit": "seconds",
-        "vs_baseline": round(PROOF_ANCHOR_S / t_warm, 3),
+        "vs_baseline": round(PROOF_ANCHOR_S / t_cold, 3),
         "circuit": "standard-PLONK gate + lookup + copy chain, "
                    f"{circuit.rows} rows (examples/plonk_bench.py)",
         "cold_s": round(t_cold, 2),
         "keygen_s": round(t_keygen, 2),
         "params_s": round(t_params, 2),
-        "verify_s": round(t_verify, 2),
         "proof_bytes": len(proof),
+        "stages_cold_s": stages_cold,
     }
+    emit(extras)
+
+    reset_records()
+    t0 = time.perf_counter()
+    proof = prove()  # warm: steady-state serving latency
+    t_warm = time.perf_counter() - t0
+    stages_warm = {k: round(v, 2) for k, v in get_records().items()}
+    t0 = time.perf_counter()
+    ok = verify_proof(params, vk, [[]], Blake2bRead(Vesta, proof))
+    t_verify = time.perf_counter() - t0
+    assert ok is True
+
+    extras["proof"].update({
+        "value": round(t_warm, 2),
+        "vs_baseline": round(PROOF_ANCHOR_S / t_warm, 3),
+        "verify_s": round(t_verify, 2),
+        "stages_warm_s": stages_warm,
+    })
 
 
 def bench_scaling(extras):
@@ -295,7 +316,8 @@ def bench_scaling(extras):
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                       "tools", "scaling_proxy.py")],
-        capture_output=True, text=True, timeout=max(60, BUDGET - (time.time() - T0)),
+        capture_output=True, text=True,
+        timeout=min(420.0, max(60.0, BUDGET - (time.time() - T0))),
         env=env,
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")]
@@ -305,21 +327,21 @@ def bench_scaling(extras):
 
 
 def main():
-    sections = os.environ.get("BENCH", "ntt,msm,proof,scaling").split(",")
+    sections = os.environ.get("BENCH", "proof,scaling,msm,ntt").split(",")
     extras = {}
 
     def _on_term(signum, frame):  # emit whatever finished, then exit
         extras["terminated"] = {"signal": int(signum),
                                 "elapsed_s": round(time.time() - T0, 1)}
         emit(extras)
-        os._exit(0)
+        os._exit(128 + int(signum))  # conventional killed-by-signal status
 
     for sig in (signal.SIGTERM, signal.SIGINT):
         signal.signal(sig, _on_term)
 
     emit(extras)  # a parseable line exists even if the first compile hangs
-    for name, fn in (("ntt", bench_ntt), ("msm", bench_msm),
-                     ("proof", bench_proof), ("scaling", bench_scaling)):
+    for name, fn in (("proof", bench_proof), ("scaling", bench_scaling),
+                     ("msm", bench_msm), ("ntt", bench_ntt)):
         if name not in sections:
             continue
         if time.time() - T0 > BUDGET:

@@ -307,9 +307,9 @@ def msm(
         if impl == "host":
             return msm_host(scalars, host_points[:n], curve)
         on_tpu = jax.default_backend() == "tpu"
-        if impl == "sorted" or (
-            impl in ("auto", "pallas") and on_tpu and n >= (1 << 16)
-        ):
+        # MSM=pallas pins the unsorted kernel unconditionally (debug /
+        # bisection escape hatch); only auto/sorted route to the sorted one
+        if impl == "sorted" or (impl == "auto" and on_tpu and n >= (1 << 16)):
             from .limbs import ints_to_limbs
             from .msm_sorted import BucketOverflow, msm_sorted
 

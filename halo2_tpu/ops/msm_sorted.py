@@ -531,8 +531,15 @@ def msm_sorted(
     nw = _num_windows(q)
     if nw != 16:
         raise BucketOverflow("17-window curve: unsorted kernel handles it")
+    if n > (1 << 21):
+        # packed lane-sort key holds 11 + 21 bits (_prestage_fn); route
+        # k>=21 MSMs to the unsorted kernel instead of tripping its assert
+        raise BucketOverflow(f"n={n} exceeds the 2^21 packed-sort capacity")
     classes = _cap_classes(n, w_lanes, kb, q)
-    px_rows, py_rows = bases.device_rows()
+    try:
+        px_rows, py_rows = bases.device_rows()
+    except AssertionError as e:  # identity base point: kernel needs affine
+        raise BucketOverflow(str(e))
     assert px_rows.shape[0] >= n, "more scalars than bases"
     if px_rows.shape[0] != n:  # an MSM over n scalars uses the first n bases
         px_rows = px_rows[:n]

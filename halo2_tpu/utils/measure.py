@@ -21,6 +21,7 @@ from contextlib import contextmanager
 _state = threading.local()
 _totals_lock = threading.Lock()
 _totals = {"fft": 0.0, "msm": 0.0}
+_records: dict = {}  # span name -> accumulated wall seconds (always on)
 
 
 def measure_enabled() -> bool:
@@ -61,9 +62,10 @@ def span(name: str, category: str = None):
             yield
     finally:
         dt = time.perf_counter() - start
-        if category in _totals:
-            with _totals_lock:
+        with _totals_lock:
+            if category in _totals:
                 _totals[category] += dt
+            _records[name] = _records.get(name, 0.0) + dt
         if enabled:
             _state.indent = _indent() - 1
             print("  " * _indent() + f"{name}: {dt * 1e3:.2f} ms")
@@ -74,6 +76,22 @@ def reset_totals():
     with _totals_lock:
         for k in _totals:
             _totals[k] = 0.0
+
+
+def reset_records():
+    """Clear the per-span-name accumulated wall-clock records."""
+    with _totals_lock:
+        _records.clear()
+
+
+def get_records() -> dict:
+    """Per-span-name accumulated wall seconds since the last reset.
+
+    Machine-readable counterpart of the MEASURE=1 prints; bench.py attaches
+    this as the prover stage breakdown (reference plonk.rs:48-125 span
+    placement)."""
+    with _totals_lock:
+        return dict(_records)
 
 
 def get_totals() -> dict:
