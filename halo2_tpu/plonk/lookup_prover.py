@@ -4,28 +4,42 @@ commit_permuted: theta-compress input/table expressions, sort/permute the
 pair (permute_expression_pair: sorted inputs; table counts via map; repeats
 filled with leftovers), commit A' and S'. commit_product: grand product Z
 with batch-inverted denominators. evaluate: five transcript evals.
+
+TPU-native: compression evaluates expression ASTs over device-resident
+Lagrange columns (`plonk/columns.py`), and the grand product is one jitted
+device program (batch inversion + log-depth prefix scan, `ops/scan.py`)
+replacing the reference's per-row loops (`lookup/prover.rs:168-330`). The
+sort/count `permute_expression_pair` stays on host (one readback of the two
+compressed columns): its count-and-fill logic is inherently sequential and
+n log n over small ints.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import Dict, List
 
+import jax
+import jax.numpy as jnp
+
 from ..fields import FieldElement
+from ..ops import field_jax as fj
+from ..ops.scan import batch_invert, exclusive_prefix_product
 from ..poly import LAGRANGE, FVec, Polynomial, Rotation, eval_polynomial_host
 from ..poly.commitment import Blind, ProverQuery
+from .columns import ProofColumns
 from .error import ConstraintSystemFailure
-from .evaluation import evaluate_expr_rows
 
 
 @dataclass
 class PermutedLookup:
-    compressed_input: List[int]
-    permuted_input: List[int]
+    compressed_input: FVec
+    permuted_input: FVec
     permuted_input_poly: Polynomial
     permuted_input_blind: Blind
-    compressed_table: List[int]
-    permuted_table: List[int]
+    compressed_table: FVec
+    permuted_table: FVec
     permuted_table_poly: Polynomial
     permuted_table_blind: Blind
 
@@ -46,24 +60,19 @@ def commit_permuted(
     params,
     domain,
     theta: int,
-    advice_values: List[List[int]],
-    fixed_values: List[List[int]],
-    instance_values: List[List[int]],
-    challenges: List[int],
+    cols: ProofColumns,
     rng,
     transcript,
 ) -> PermutedLookup:
     F = params.curve.SCALAR
-    p = F.MODULUS
     n = params.n
 
-    def compress(expressions) -> List[int]:
-        acc = [0] * n
+    def compress(expressions) -> FVec:
+        acc = None
         for expr in expressions:
-            vals = evaluate_expr_rows(
-                expr, n, p, fixed_values, advice_values, instance_values, challenges
-            )
-            acc = [(a * theta + v) % p for a, v in zip(acc, vals)]
+            vals = cols.eval_expr(expr)
+            acc = vals if acc is None else acc * F(theta) + vals
+        assert acc is not None
         return acc
 
     compressed_input = compress(argument.input_expressions)
@@ -72,15 +81,14 @@ def commit_permuted(
         pk, params, rng, compressed_input, compressed_table
     )
 
-    def commit_values(values: List[int]):
-        lag = Polynomial(LAGRANGE, FVec.from_ints(F, values))
-        poly = domain.lagrange_to_coeff(lag)
-        blind = Blind(F.random(rng).v)
-        commitment = params.commit_lagrange(values, blind)
-        return poly, blind, commitment
-
-    pi_poly, pi_blind, pi_c = commit_values(permuted_input)
-    pt_poly, pt_blind, pt_c = commit_values(permuted_table)
+    pi_blind = Blind(F.random(rng).v)
+    pt_blind = Blind(F.random(rng).v)
+    pi_c, pt_c = params.commit_many(
+        [permuted_input, permuted_table], [pi_blind, pt_blind],
+        lagrange=True, mont=True,
+    )
+    pi_poly = domain.lagrange_to_coeff(Polynomial(LAGRANGE, permuted_input))
+    pt_poly = domain.lagrange_to_coeff(Polynomial(LAGRANGE, permuted_table))
     transcript.write_point(pi_c)
     transcript.write_point(pt_c)
     return PermutedLookup(
@@ -89,11 +97,17 @@ def commit_permuted(
     )
 
 
-def permute_expression_pair(pk, params, rng, input_expression, table_expression):
-    """Sort inputs; align table values (reference lookup/prover.rs:392-460)."""
+def permute_expression_pair(pk, params, rng, input_vec: FVec, table_vec: FVec):
+    """Sort inputs; align table values (reference lookup/prover.rs:392-460).
+
+    Host count-and-fill over ONE readback of the two compressed device
+    columns; the blinded results are re-encoded once. Returns FVec pair.
+    """
     F = params.curve.SCALAR
     blinding = pk.vk.cs.blinding_factors()
     usable_rows = params.n - (blinding + 1)
+    input_expression = input_vec.to_ints()
+    table_expression = table_vec.to_ints()
 
     permuted_input = sorted(input_expression[:usable_rows])
     leftover: Dict[int, int] = {}
@@ -118,35 +132,58 @@ def permute_expression_pair(pk, params, rng, input_expression, table_expression)
 
     permuted_input += [F.random(rng).v for _ in range(blinding + 1)]
     permuted_table += [F.random(rng).v for _ in range(blinding + 1)]
-    return permuted_input, permuted_table
+    return FVec.from_ints(F, permuted_input), FVec.from_ints(F, permuted_table)
+
+
+@lru_cache(maxsize=None)
+def _lookup_z_fn(field, blinding: int):
+    """Jitted: the lookup grand-product z column (lookup/prover.rs:168-330).
+
+    z[0] = 1; z[i+1] = z[i] * (a_i + beta)(s_i + gamma) /
+    ((a'_i + beta)(s'_i + gamma)); rows [n-blinding, n) replaced by rand.
+    """
+    ctx = fj.FieldCtx(field)
+
+    @jax.jit
+    def run(ci, ct, pi, pt, beta_c, gamma_c, rand_rows):
+        n = ci.shape[0]
+        bb = jnp.broadcast_to(beta_c, ci.shape)
+        gg = jnp.broadcast_to(gamma_c, ci.shape)
+        denom = fj.mont_mul(
+            fj.add_mod(pi, bb, ctx), fj.add_mod(pt, gg, ctx), ctx
+        )
+        denom_inv = batch_invert(denom, ctx)
+        product = fj.mont_mul(
+            denom_inv,
+            fj.mont_mul(fj.add_mod(ci, bb, ctx), fj.add_mod(ct, gg, ctx), ctx),
+            ctx,
+        )
+        z = exclusive_prefix_product(product, ctx)
+        return jnp.concatenate([z[: n - blinding], rand_rows], axis=0)
+
+    return run
 
 
 def commit_product(
     permuted: PermutedLookup, pk, params, domain, beta: int, gamma: int, rng, transcript
 ) -> CommittedLookup:
     F = params.curve.SCALAR
-    p = F.MODULUS
-    n = params.n
     blinding = pk.vk.cs.blinding_factors()
+    ctx = fj.FieldCtx(F)
 
-    denom = [
-        (beta + pi) * (gamma + pt) % p
-        for pi, pt in zip(permuted.permuted_input, permuted.permuted_table)
-    ]
-    denom_inv = [pow(d, -1, p) if d else 0 for d in denom]
-    product = [
-        di * (ci + beta) % p * (ct + gamma) % p
-        for di, ci, ct in zip(denom_inv, permuted.compressed_input, permuted.compressed_table)
-    ]
-    z = [1]
-    for i in range(n - blinding - 1):
-        z.append(z[-1] * product[i] % p)
-    z += [F.random(rng).v for _ in range(blinding)]
-    assert len(z) == n
+    rand_rows = FVec.from_ints(F, [F.random(rng).v for _ in range(blinding)]).vals
+    z = _lookup_z_fn(F, blinding)(
+        permuted.compressed_input.vals, permuted.compressed_table.vals,
+        permuted.permuted_input.vals, permuted.permuted_table.vals,
+        ctx.const(beta), ctx.const(gamma), rand_rows,
+    )
 
     product_blind = Blind(F.random(rng).v)
-    product_commitment = params.commit_lagrange(z, product_blind)
-    z_poly = domain.lagrange_to_coeff(Polynomial(LAGRANGE, FVec.from_ints(F, z)))
+    zv = FVec(F, z)
+    (product_commitment,) = params.commit_many(
+        [zv], [product_blind], lagrange=True, mont=True
+    )
+    z_poly = domain.lagrange_to_coeff(Polynomial(LAGRANGE, zv))
     transcript.write_point(product_commitment)
     return CommittedLookup(
         permuted.permuted_input_poly, permuted.permuted_input_blind,

@@ -157,6 +157,9 @@ def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[Li
     advice_values_all: List[List[Optional[List[int]]]] = [
         [None] * cs.num_advice_columns for _ in circuits
     ]
+    advice_fvecs_all: List[List[Optional[FVec]]] = [
+        [None] * cs.num_advice_columns for _ in circuits
+    ]
     advice_blinds_all: List[List[Blind]] = [
         [Blind() for _ in range(cs.num_advice_columns)] for _ in circuits
     ]
@@ -183,15 +186,13 @@ def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[Li
                     col[row] = F.random(rng).v
             for col in cols:
                 blinds.append(Blind(F.random(rng).v))
-            if cols and hasattr(params, "commit_many"):
+            # encode each column ONCE as device Montgomery limbs; the same
+            # FVec feeds the batched commit MSM, the lookup/permutation
+            # device provers, and the coeff-basis NTT below
+            fvecs = [FVec.from_ints(F, col) for col in cols]
+            if fvecs and hasattr(params, "commit_many"):
                 # ONE batched device MSM launch for the whole phase
-                import jax.numpy as jnp
-                import numpy as np
-
-                from ..ops.limbs import ints_to_limbs
-
-                canon = jnp.asarray(np.stack([ints_to_limbs(col) for col in cols]))
-                commitments = params.commit_many(canon, blinds, lagrange=True, mont=False)
+                commitments = params.commit_many(fvecs, blinds, lagrange=True, mont=True)
             else:
                 commitments = [
                     params.commit_lagrange(col, blind)
@@ -199,8 +200,9 @@ def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[Li
                 ]
             for c in commitments:
                 transcript.write_point(c)
-            for idx, col, blind in zip(column_indices, cols, blinds):
+            for idx, col, fv, blind in zip(column_indices, cols, fvecs, blinds):
                 advice_values_all[circuit_idx][idx] = col
+                advice_fvecs_all[circuit_idx][idx] = fv
                 advice_blinds_all[circuit_idx][idx] = blind
         for index, phase in enumerate(cs.challenge_phase):
             if phase == current_phase:
@@ -209,6 +211,20 @@ def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[Li
 
     challenges = [challenges[i] for i in range(cs.num_challenges)]
 
+    # device-resident Lagrange column sets, one per proof (plonk/columns.py)
+    from .columns import ProofColumns
+
+    cols_all = []
+    for i in range(len(circuits)):
+        pc = ProofColumns(
+            F, n, advice_values_all[i], [fp.vec for fp in pk.fixed_values],
+            instance_values_all[i], challenges,
+        )
+        for idx, fv in enumerate(advice_fvecs_all[i]):
+            if fv is not None:
+                pc.set_advice(idx, fv)
+        cols_all.append(pc)
+
     stage.__exit__(None, None, None)
     # ---- lookups: permuted commitments (prover.rs:429-458) ----
     stage = span("lookups + permutations commit"); stage.__enter__()
@@ -216,9 +232,7 @@ def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[Li
     lookups_permuted = [
         [
             lookup_prover.commit_permuted(
-                argument, pk, params, domain, theta,
-                advice_values_all[i], [fp.vec.to_ints() for fp in pk.fixed_values],
-                instance_values_all[i], challenges, rng, transcript,
+                argument, pk, params, domain, theta, cols_all[i], rng, transcript,
             )
             for argument in cs.lookups
         ]
@@ -228,11 +242,9 @@ def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[Li
     # ---- permutations (prover.rs:467-486) ----
     beta = int(transcript.squeeze_challenge())
     gamma = int(transcript.squeeze_challenge())
-    fixed_ints = [fp.vec.to_ints() for fp in pk.fixed_values]
     permutations = [
         permutation_prover.commit_permutation(
-            params, pk, advice_values_all[i], fixed_ints, instance_values_all[i],
-            beta, gamma, rng, transcript,
+            params, pk, cols_all[i], beta, gamma, rng, transcript,
         )
         for i in range(len(circuits))
     ]
@@ -249,11 +261,11 @@ def create_proof(params, pk: ProvingKey, circuits: List, instances: List[List[Li
 
     y = int(transcript.squeeze_challenge())
 
-    # advice to coeff basis
+    # advice to coeff basis (reusing the phase-commit device encodings)
     advice_polys_all = [
         [
-            domain.lagrange_to_coeff(Polynomial(LAGRANGE, FVec.from_ints(F, col)))
-            for col in advice_values_all[i]
+            domain.lagrange_to_coeff(Polynomial(LAGRANGE, fv))
+            for fv in advice_fvecs_all[i]
         ]
         for i in range(len(circuits))
     ]
