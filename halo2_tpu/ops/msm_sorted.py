@@ -41,6 +41,7 @@ runtime (VERDICT round 3). Design, driven by measured machine constants
 from __future__ import annotations
 
 import math
+import os
 from functools import lru_cache
 from typing import Tuple, Type
 
@@ -201,7 +202,13 @@ def _prestage_fn(n: int, nw: int, classes: tuple, w_lanes: int, kb: int):
 
 @lru_cache(maxsize=None)
 def _accum_fn(curve: Type[Curve], nw: int, cap: int, w_lanes: int, kb: int,
-              interpret: bool):
+              chains: int, interpret: bool):
+    """`chains` independent accumulator banks per lane: each grid step
+    folds `chains` consecutive sorted ranks into separate bucket banks, so
+    the serial add-chain dependency is split `chains` ways and the VPU can
+    overlap the independent adds (the single-chain kernel was ~2x slower
+    than its pure-multiply cost: latency-bound on the accumulate
+    dependency). Banks are merged per bucket inside the fold kernel."""
     consts = _consts5(curve)
 
     def kernel(gx, gy, cref, ox, oy, oz):
@@ -214,55 +221,60 @@ def _accum_fn(curve: Type[Curve], nw: int, cap: int, w_lanes: int, kb: int,
 
         @pl.when(r == 0)
         def _init():
-            ox[:] = jnp.zeros((1, kb, NLIMBS, w_lanes), U32)
-            oy[:] = jnp.broadcast_to(onem[None, None], (1, kb, NLIMBS, w_lanes))
-            oz[:] = jnp.zeros((1, kb, NLIMBS, w_lanes), U32)
+            ox[:] = jnp.zeros((1, chains * kb, NLIMBS, w_lanes), U32)
+            oy[:] = jnp.broadcast_to(
+                onem[None, None], (1, chains * kb, NLIMBS, w_lanes)
+            )
+            oz[:] = jnp.zeros((1, chains * kb, NLIMBS, w_lanes), U32)
 
-        raw = gx[0, 0]
         sb = kb.bit_length() - 1
-        m = raw[0:1] >> 16  # meta in x-limb-0's high bits; (1, W)
-        sub = m & U32(kb - 1)
-        sign = (m >> sb) & 1
-        valid = (m >> (sb + 1)) & 1
         iota = jax.lax.broadcasted_iota(U32, (kb, 1, w_lanes), 0)
-        mask = iota == sub[None]  # (kb, 1, W)
 
-        def sel(ref):  # one-hot accumulator read; limbs < 2^16 so exact
-            v = jnp.where(mask, ref[0].astype(I32), 0)
-            return jnp.sum(v, axis=0).astype(U32)
+        for c in range(chains):
+            raw = gx[0, c]
+            m = raw[0:1] >> 16  # meta in x-limb-0's high bits; (1, W)
+            sub = m & U32(kb - 1)
+            sign = (m >> sb) & 1
+            valid = (m >> (sb + 1)) & 1
+            mask = iota == sub[None]  # (kb, 1, W)
+            bank = slice(c * kb, (c + 1) * kb)
 
-        px = raw & U32(0xFFFF)
-        py = gy[0, 0]
-        py = jnp.where(
-            sign == 1,
-            _sub_mod(jnp.zeros((NLIMBS, w_lanes), U32), py, twop),
-            py,
-        )
-        cur = (sel(ox), sel(oy), sel(oz))
-        X3, Y3, Z3 = _mixed_padd(cur, (px, py), nprime, plimbs, twop, b3)
-        upd = mask & (valid == 1)[None]  # (kb, 1, W)
-        ox[0] = jnp.where(upd, X3[None], ox[0])
-        oy[0] = jnp.where(upd, Y3[None], oy[0])
-        oz[0] = jnp.where(upd, Z3[None], oz[0])
+            def sel(ref):  # one-hot accumulator read; limbs < 2^16 so exact
+                v = jnp.where(mask, ref[0, bank].astype(I32), 0)
+                return jnp.sum(v, axis=0).astype(U32)
+
+            px = raw & U32(0xFFFF)
+            py = gy[0, c]
+            py = jnp.where(
+                sign == 1,
+                _sub_mod(jnp.zeros((NLIMBS, w_lanes), U32), py, twop),
+                py,
+            )
+            cur = (sel(ox), sel(oy), sel(oz))
+            X3, Y3, Z3 = _mixed_padd(cur, (px, py), nprime, plimbs, twop, b3)
+            upd = mask & (valid == 1)[None]  # (kb, 1, W)
+            ox[0, bank] = jnp.where(upd, X3[None], ox[0, bank])
+            oy[0, bank] = jnp.where(upd, Y3[None], oy[0, bank])
+            oz[0, bank] = jnp.where(upd, Z3[None], oz[0, bank])
 
     gspec = pl.BlockSpec(
-        (1, 1, NLIMBS, w_lanes), lambda w, r: (w, r, 0, 0),
+        (1, chains, NLIMBS, w_lanes), lambda w, r: (w, r, 0, 0),
         memory_space=pltpu.VMEM,
     )
     cspec = pl.BlockSpec((5, NLIMBS), lambda w, r: (0, 0), memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec(
-        (1, kb, NLIMBS, w_lanes), lambda w, r: (w, 0, 0, 0),
+        (1, chains * kb, NLIMBS, w_lanes), lambda w, r: (w, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
 
     def run(grid_x, grid_y):
         out_shape = tuple(
-            jax.ShapeDtypeStruct((nw, kb, NLIMBS, w_lanes), U32)
+            jax.ShapeDtypeStruct((nw, chains * kb, NLIMBS, w_lanes), U32)
             for _ in range(3)
         )
         return pl.pallas_call(
             kernel,
-            grid=(nw, cap),
+            grid=(nw, cap // chains),
             in_specs=[gspec, gspec, cspec],
             out_specs=(ospec, ospec, ospec),
             out_shape=out_shape,
@@ -285,10 +297,11 @@ def _accum_fn(curve: Type[Curve], nw: int, cap: int, w_lanes: int, kb: int,
 
 @lru_cache(maxsize=None)
 def _fold_fn(curve: Type[Curve], nw: int, w_lanes: int, kb: int,
-             interpret: bool):
-    """(nw, KB, L, W) buckets + side lists -> (nw, L, W) per-window sums
-    (every lane equal): sum_b b*S_b with b = KB*lane + sub, plus
-    2^15 * side_sum."""
+             chains: int, interpret: bool):
+    """(nw, chains*KB, L, W) bucket banks + side lists -> (nw, L, W)
+    per-window sums (every lane equal): sum_b b*S_b with b = KB*lane + sub,
+    plus 2^15 * side_sum. The `chains` accumulator banks of bucket s are
+    merged with full adds as each bucket is consumed."""
     consts = _consts5(curve)
 
     def kernel(bx, by, bz, sxr, syr, svr, cref, ox, oy, oz):
@@ -310,21 +323,29 @@ def _fold_fn(curve: Type[Curve], nw: int, w_lanes: int, kb: int,
         def pick(cond, a, b):  # cond (1, W) bool
             return tuple(jnp.where(cond, x, y) for x, y in zip(a, b))
 
-        # sub-suffix: run = sum_{s>=j} S_s ; tot = sum_s s*S_s   (per lane)
-        def sub_body(i, carry):
-            run, tot = carry
-            s = kb - 1 - i
+        def bucket_at(s):  # merge the chain banks of bucket s
             v = (
                 bx[0, pl.ds(s, 1)][0],
                 by[0, pl.ds(s, 1)][0],
                 bz[0, pl.ds(s, 1)][0],
             )
-            run = padd(run, v)
+            for c in range(1, chains):
+                v = padd(v, (
+                    bx[0, pl.ds(c * kb + s, 1)][0],
+                    by[0, pl.ds(c * kb + s, 1)][0],
+                    bz[0, pl.ds(c * kb + s, 1)][0],
+                ))
+            return v
+
+        # sub-suffix: run = sum_{s>=j} S_s ; tot = sum_s s*S_s   (per lane)
+        def sub_body(i, carry):
+            run, tot = carry
+            run = padd(run, bucket_at(kb - 1 - i))
             tot = padd(tot, run)
             return run, tot
 
         run, tot = jax.lax.fori_loop(0, kb - 1, sub_body, (ident, ident))
-        p1 = padd(run, (bx[0, 0], by[0, 0], bz[0, 0]))  # plain lane total
+        p1 = padd(run, bucket_at(0))  # plain lane total
 
         # lane-suffix scan of p1: suf[l] = sum_{j>=l} p1[j]
         suf = p1
@@ -388,7 +409,7 @@ def _fold_fn(curve: Type[Curve], nw: int, w_lanes: int, kb: int,
         ox[0], oy[0], oz[0] = acc
 
     bspec = pl.BlockSpec(
-        (1, kb, NLIMBS, w_lanes), lambda w: (w, 0, 0, 0),
+        (1, chains * kb, NLIMBS, w_lanes), lambda w: (w, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
     sspec = pl.BlockSpec(
@@ -545,17 +566,18 @@ def msm_sorted(
         px_rows = px_rows[:n]
         py_rows = py_rows[:n]
 
+    chains = int(os.environ.get("MSM_CHAINS", "4"))
     grids, sx, sy, sv, overflow = _prestage_fn(n, nw, classes, w_lanes, kb)(
         scal_canon, px_rows, py_rows
     )
     buckets = [
-        _accum_fn(curve, cnt, cap, w_lanes, kb, interpret)(gx, gy)
+        _accum_fn(curve, cnt, cap, w_lanes, kb, chains, interpret)(gx, gy)
         for (_, cnt, cap), (gx, gy) in zip(classes, grids)
     ]
     bx, by, bz = (
         jnp.concatenate([b[i] for b in buckets], axis=0) for i in range(3)
     )
-    wx, wy, wz = _fold_fn(curve, nw, w_lanes, kb, interpret)(
+    wx, wy, wz = _fold_fn(curve, nw, w_lanes, kb, chains, interpret)(
         bx, by, bz, sx, sy, sv
     )
     tx, ty, tz = _horner_fn(curve, nw, w_lanes, interpret)(wx, wy, wz)

@@ -71,7 +71,7 @@ def _mul_cols(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
-def _sweep(cols: jnp.ndarray, nout: int) -> jnp.ndarray:
+def _sweep_serial(cols: jnp.ndarray, nout: int) -> jnp.ndarray:
     """Serial carry propagation along the limb (sublane) axis.
 
     All row temporaries keep an explicit (..., 1, W) shape: a 1-D (W,)
@@ -93,6 +93,50 @@ def _sweep(cols: jnp.ndarray, nout: int) -> jnp.ndarray:
     return res
 
 
+def _shift_up(x: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Move row k to row k+d (zeros shift in below), same length."""
+    n = x.shape[-2]
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(d, 0), (0, 0)])[..., :n, :]
+
+
+def _sweep_ks(cols: jnp.ndarray, nout: int) -> jnp.ndarray:
+    """Log-depth exact carry propagation (Kogge-Stone).
+
+    The serial sweep is a ~C-step dependent chain of (..., 1, W) row ops —
+    latency-bound (ROADMAP r4: ~35% of the tile multiply). Here: one
+    squeeze turns the < 2^22 accumulator columns into 16-bit limbs plus
+    BINARY carries (carry < 2^6, so local + carry < 2^17), then a 6-step
+    Kogge-Stone generate/propagate prefix resolves all carry chains with
+    full-height (..., C, W) ops the VPU runs at 8 sublanes/tick.
+    Carries beyond row nout-1 are dropped (same contract as serial)."""
+    n = min(cols.shape[-2], nout)
+    v = cols[..., :n, :]
+    v2 = (v & MASK) + _shift_up(v >> LIMB_BITS, 1)
+    g = v2 >> LIMB_BITS  # in {0, 1}
+    p = ((v2 & MASK) == MASK).astype(U32)
+    d = 1
+    while d < n:
+        gs = _shift_up(g, d)
+        ps = _shift_up(p, d)
+        g = g | (p & gs)
+        p = p & ps
+        d *= 2
+    res = (v2 + _shift_up(g, 1)) & MASK
+    if res.shape[-2] < nout:
+        res = jnp.pad(
+            res, [(0, 0)] * (res.ndim - 2) + [(0, nout - res.shape[-2]), (0, 0)]
+        )
+    return res
+
+
+def _sweep(cols: jnp.ndarray, nout: int) -> jnp.ndarray:
+    import os
+
+    if os.environ.get("H2_SWEEP", "ks") == "serial":
+        return _sweep_serial(cols, nout)
+    return _sweep_ks(cols, nout)
+
+
 def _mont_mul(a, b, nprime, plimbs):
     """REDC(a*b) on [0, 2p); nprime/plimbs are (16, 1) lane-broadcastable."""
     t_cols = _mul_cols(a, b)
@@ -103,7 +147,7 @@ def _mont_mul(a, b, nprime, plimbs):
     return full[..., NLIMBS : 2 * NLIMBS, :]
 
 
-def _sub_2p_if_ge(t, twop, hi=None):
+def _sub_2p_if_ge_serial(t, twop, hi=None):
     # row temporaries stay (..., 1, W) -- see _sweep
     borrow = jnp.zeros(t.shape[:-2] + (1,) + t.shape[-1:], U32)
     diffs = []
@@ -118,12 +162,38 @@ def _sub_2p_if_ge(t, twop, hi=None):
     return jnp.where(ge, diff, t)
 
 
+def _sub_2p_if_ge_ks(t, twop, hi=None):
+    """Log-depth borrow chain: generate g_k = t_k < m_k, propagate
+    p_k = t_k == m_k, Kogge-Stone prefix; borrow_in[k] = prefix[k-1]."""
+    tp = jnp.broadcast_to(twop, t.shape)
+    g = (t < tp).astype(U32)
+    p = (t == tp).astype(U32)
+    d = 1
+    while d < NLIMBS:
+        g = g | (p & _shift_up(g, d))
+        p = p & _shift_up(p, d)
+        d *= 2
+    diff = (t - tp - _shift_up(g, 1)) & MASK
+    ge = g[..., NLIMBS - 1 : NLIMBS, :] == 0  # no borrow out of the top limb
+    if hi is not None:
+        ge = ge | (hi > 0)
+    return jnp.where(ge, diff, t)
+
+
+def _sub_2p_if_ge(t, twop, hi=None):
+    import os
+
+    if os.environ.get("H2_SWEEP", "ks") == "serial":
+        return _sub_2p_if_ge_serial(t, twop, hi)
+    return _sub_2p_if_ge_ks(t, twop, hi)
+
+
 def _add_mod(a, b, twop):
     s = _sweep(a + b, NLIMBS + 1)
     return _sub_2p_if_ge(s[..., :NLIMBS, :], twop, s[..., NLIMBS : NLIMBS + 1, :])
 
 
-def _sub_mod(a, b, twop):
+def _sub_mod_serial(a, b, twop):
     cols = a.astype(I32) + twop.astype(I32) - b.astype(I32)
     out = []
     carry = jnp.zeros(cols.shape[:-2] + (1,) + cols.shape[-1:], I32)
@@ -133,7 +203,31 @@ def _sub_mod(a, b, twop):
         carry = v >> LIMB_BITS
     hi = carry.astype(U32)
     t = jnp.concatenate(out, axis=-2).astype(U32)
-    return _sub_2p_if_ge(t, twop, hi)
+    return _sub_2p_if_ge_serial(t, twop, hi)
+
+
+def _sub_mod_ks(a, b, twop):
+    """a - b + 2p via 2^256-complement so every column stays unsigned and
+    the log-depth sweep applies: a + 2p + (2^256 - b) = wanted + 2^256,
+    and the sweep's limb-16 row is exactly 1 + the old signed carry-out."""
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    cols = a + (MASK - b) + jnp.broadcast_to(twop, shape)
+    cols = jnp.concatenate(
+        [cols[..., 0:1, :] + 1, cols[..., 1:, :]], axis=-2
+    )
+    cols = jnp.pad(cols, [(0, 0)] * (cols.ndim - 2) + [(0, 1), (0, 0)])
+    s = _sweep_ks(cols, NLIMBS + 1)
+    hi = s[..., NLIMBS : NLIMBS + 1, :] - 1
+    return _sub_2p_if_ge_ks(s[..., :NLIMBS, :], twop, hi)
+
+
+def _sub_mod(a, b, twop):
+    import os
+
+    if os.environ.get("H2_SWEEP", "ks") == "serial":
+        return _sub_mod_serial(a, b, twop)
+    return _sub_mod_ks(a, b, twop)
 
 
 def _col_ntt_kernel(rows: int, with_twiddle: bool):
