@@ -42,6 +42,8 @@ class RegionInfo:
     enabled_selectors: Dict[Selector, List[int]] = field(default_factory=dict)
     cells: Set[Tuple[Column, int]] = field(default_factory=set)
     rows: Optional[Tuple[int, int]] = None  # (start, end) inclusive
+    # str(column) -> annotation from Region::name_column (metadata.rs)
+    column_annotations: Dict[str, str] = field(default_factory=dict)
 
     def track_row(self, row: int):
         if self.rows is None:
@@ -60,12 +62,15 @@ class FailureLocation:
     offset: Optional[int] = None
     row: Optional[int] = None
 
+    annotations: Optional[Dict[str, str]] = None  # region column annotations
+
     @staticmethod
     def find(regions, row: int) -> "FailureLocation":
         for region in regions:
             if region.rows is not None and region.rows[0] <= row <= region.rows[1]:
                 return FailureLocation(
-                    "in_region", region.index, region.name, row - region.rows[0]
+                    "in_region", region.index, region.name, row - region.rows[0],
+                    annotations=dict(region.column_annotations),
                 )
         return FailureLocation("outside_region", row=row)
 
@@ -86,11 +91,17 @@ class VerifyFailure:
     def _render_cell_table(self) -> str:
         """Aligned cell-layout table (reference dev/failure.rs:125-188 +
         failure/emitter.rs render): one row per rotation offset, one column
-        per queried column, values filled in; '<--' marks the gate row."""
+        per queried column, values filled in; '<--' marks the gate row.
+        Columns carry their `Region::name_column` annotations when the
+        failing row lies in an annotated region (metadata.rs)."""
+        ann = (self.location.annotations or {}) if self.location else {}
         columns = sorted({c for c, _r, _v in self.cell_values})
         rotations = sorted({r for _c, r, _v in self.cell_values})
         values = {(c, r): v for c, r, v in self.cell_values}
-        headers = ["Offset"] + columns
+        labels = [
+            f"{c} ('{ann[c]}')" if c in ann else c for c in columns
+        ]
+        headers = ["Offset"] + labels
         rows = [
             [str(r)] + [values.get((c, r), "") for c in columns]
             for r in rotations
@@ -201,7 +212,12 @@ class MockProver:
         self._current_region = None
 
     def annotate_column(self, annotation, column):
-        pass
+        """Record a region-scoped column annotation (reference dev.rs
+        annotate_column -> metadata.rs Region column_annotations); the
+        failure emitter labels cell-table columns with these names."""
+        if self._current_region is not None:
+            name = annotation() if callable(annotation) else annotation
+            self._current_region.column_annotations[str(column)] = str(name)
 
     def enable_selector(self, annotation, selector: Selector, row: int):
         if row >= self.usable_rows:
@@ -433,9 +449,10 @@ class MockProver:
                     failures.append(
                         VerifyFailure(
                             "constraint",
-                            f"gate {gate_idx} '{gate.name}' constraint "
-                            f"'{gate.constraint_names[poly_idx]}' not satisfied at row {row}",
+                            f"{self._constraint_meta(gate_idx, gate, poly_idx)}"
+                            " is not satisfied",
                             location=FailureLocation.find(self.regions, row),
+                            cell_values=self._gate_cell_values(gate, row),
                         )
                     )
 
@@ -462,11 +479,42 @@ class MockProver:
         failures.extend(self._check_permutation())
         return failures
 
+    def _constraint_meta(self, gate_idx: int, gate, poly_idx: int):
+        """metadata.Constraint handle for a gate polynomial (metadata.rs)."""
+        from . import metadata
+
+        return metadata.Constraint(
+            metadata.Gate(gate_idx, gate.name),
+            poly_idx,
+            gate.constraint_names[poly_idx],
+        )
+
+    def _gate_cell_values(self, gate, row: int):
+        """(column repr, rotation, value repr) for every cell the gate
+        queries at `row` (reference failure.rs ConstraintNotSatisfied
+        cell_values)."""
+        cell_values = []
+        for column, rotation in gate.queried_cells:
+            crow = (row + rotation.i) % self.n
+            if column.kind == INSTANCE:
+                val = str(self.instance[column.index][crow][1])
+            else:
+                store = self.fixed if column.kind == FIXED else self.advice
+                cv = store[column.index][crow]
+                val = (
+                    "unassigned" if cv is UNASSIGNED
+                    else ("poison" if _is_poison(cv) else f"0x{cv[1]:x}")
+                )
+            cell_values.append((str(column), rotation.i, str(val)))
+        return cell_values
+
     def _check_cells_assigned(self) -> List[VerifyFailure]:
+        from . import metadata
+
         failures: List[VerifyFailure] = []
         for region in self.regions:
             for selector, rows in region.enabled_selectors.items():
-                for gate in self.cs.gates:
+                for gate_idx, gate in enumerate(self.cs.gates):
                     if selector not in gate.queried_selectors:
                         continue
                     for row in rows:
@@ -478,11 +526,17 @@ class MockProver:
                                 continue
                             store = self.fixed if column.kind == FIXED else self.advice
                             if store[column.index][cell_row] is UNASSIGNED:
+                                offset = (
+                                    cell_row - region.rows[0]
+                                    if region.rows else cell_row
+                                )
+                                gm = metadata.Gate(gate_idx, gate.name)
                                 failures.append(
                                     VerifyFailure(
                                         "cell_not_assigned",
-                                        f"gate '{gate.name}' region '{region.name}' "
-                                        f"{column} row {cell_row}",
+                                        f"Region {region.index} ('{region.name}')"
+                                        f" uses {gm} at offset {offset}, but"
+                                        f" does not assign {column}",
                                     )
                                 )
         return failures
@@ -523,31 +577,18 @@ class MockProver:
                         failures.append(
                             VerifyFailure(
                                 "constraint_poisoned",
-                                f"gate {gate_idx} '{gate.name}' constraint "
-                                f"'{gate.constraint_names[poly_idx]}' at row {row}",
+                                f"{self._constraint_meta(gate_idx, gate, poly_idx)}"
+                                f" is poisoned at row {row}",
                             )
                         )
                     elif v[1] != 0:
-                        cell_values = []
-                        for column, rotation in gate.queried_cells:
-                            crow = (row + rotation.i) % self.n
-                            if column.kind == INSTANCE:
-                                val = self.instance[column.index][crow][1]
-                            else:
-                                store = self.fixed if column.kind == FIXED else self.advice
-                                cv = store[column.index][crow]
-                                val = (
-                                    "unassigned" if cv is UNASSIGNED
-                                    else ("poison" if _is_poison(cv) else f"0x{cv[1]:x}")
-                                )
-                            cell_values.append((str(column), rotation.i, str(val)))
                         failures.append(
                             VerifyFailure(
                                 "constraint",
-                                f"gate {gate_idx} '{gate.name}' constraint "
-                                f"'{gate.constraint_names[poly_idx]}' not satisfied at row {row}",
+                                f"{self._constraint_meta(gate_idx, gate, poly_idx)}"
+                                " is not satisfied",
                                 location=FailureLocation.find(self.regions, row),
-                                cell_values=cell_values,
+                                cell_values=self._gate_cell_values(gate, row),
                             )
                         )
 
