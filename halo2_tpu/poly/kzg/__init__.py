@@ -85,6 +85,38 @@ class ParamsKZG:
     def commit(self, coeffs: Sequence[int], blind: Blind = None) -> Point:
         return msm(list(coeffs), self._bases_g, self.curve)
 
+    def commit_many(self, stacks, blinds: Sequence[Blind], lagrange: bool,
+                    mont: bool = True) -> List[Point]:
+        """Batched commits from device-resident columns (same contract as
+        ParamsIPA.commit_many; the device lookup/permutation provers call
+        this). KZG commitments are unblinded (`kzg/commitment.rs`
+        commit_lagrange ignores blinds), so no blind row is appended."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ...ops.field_jax import FieldCtx
+        from ...ops.limbs import limbs_to_ints
+
+        if not isinstance(stacks, jnp.ndarray):
+            stacks = jnp.stack([getattr(s, "vals", s) for s in stacks])
+        M, n, _ = stacks.shape
+        bases = self._bases_lagrange if lagrange else self._bases_g
+        if jax.default_backend() == "tpu":
+            from ...ops.msm_pallas import msm_pallas_many
+
+            return msm_pallas_many(stacks, bases, mont=mont)
+        sctx = FieldCtx(self.curve.SCALAR)
+        flat = stacks.reshape(M * n, -1)
+        if mont:
+            decoded = sctx.decode_ints(flat)
+        else:
+            decoded = limbs_to_ints(np.asarray(jax.device_get(flat)))
+        return [
+            msm(decoded[m * n : (m + 1) * n], bases, self.curve)
+            for m in range(M)
+        ]
+
     def empty_msm(self) -> "MSMKZG":
         return MSMKZG(self.curve)
 
