@@ -28,10 +28,12 @@ default 20)  BENCH_MSM_K (default 20)  BENCH_PROOF_K (default 14)
 BENCH_BUDGET_S (default 1800: later sections are skipped when the budget
 is spent).
 
-Section ORDER is proof, scaling, msm, ntt — the two never-yet-recorded
+Section ORDER is scaling, proof, msm, ntt — the two never-yet-recorded
 north stars run first (VERDICT r4 #1: four rounds of fixed ntt→msm→proof
 ordering starved the headline proof metric every time; msm/ntt already
-have recorded numbers in BENCH_r01..r04).
+have recorded numbers in BENCH_r01..r04). Scaling goes before proof
+because it is a ~60 s CPU-subprocess measurement that must not be
+starved by a compile-heavy proof section.
 
 Output protocol (criterion-style always-report, reference
 halo2_proofs/benches/plonk.rs:265-302): a complete JSON line is printed
@@ -252,14 +254,19 @@ def bench_proof(extras):
     from plonk_bench import bench_circuit_for_k
 
     K = int(os.environ.get("BENCH_PROOF_K", "14"))
+    prog = extras["proof_progress"] = {"stage": "params"}
     t0 = time.perf_counter()
     params = ParamsIPA.cached(Vesta, K)
     t_params = time.perf_counter() - t0
     circuit = bench_circuit_for_k(K)
+    prog.update(stage="keygen", params_s=round(t_params, 2))
+    emit(extras)  # killed runs still show the stage reached + its cost
     t0 = time.perf_counter()
     vk = keygen_vk(params, circuit)
     pk = keygen_pk(params, vk, circuit)
     t_keygen = time.perf_counter() - t0
+    prog.update(stage="cold_prove", keygen_s=round(t_keygen, 2))
+    emit(extras)
 
     def prove():
         tr = Blake2bWrite(Vesta)
@@ -327,7 +334,7 @@ def bench_scaling(extras):
 
 
 def main():
-    sections = os.environ.get("BENCH", "proof,scaling,msm,ntt").split(",")
+    sections = os.environ.get("BENCH", "scaling,proof,msm,ntt").split(",")
     extras = {}
 
     def _on_term(signum, frame):  # emit whatever finished, then exit
@@ -340,7 +347,7 @@ def main():
         signal.signal(sig, _on_term)
 
     emit(extras)  # a parseable line exists even if the first compile hangs
-    for name, fn in (("proof", bench_proof), ("scaling", bench_scaling),
+    for name, fn in (("scaling", bench_scaling), ("proof", bench_proof),
                      ("msm", bench_msm), ("ntt", bench_ntt)):
         if name not in sections:
             continue

@@ -41,6 +41,41 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running circuit tests")
+    config.addinivalue_line(
+        "markers",
+        "fast: <10-min verification lane (field/curve/transcript/IR/mock + tiny e2e)",
+    )
+
+
+# Curated fast lane (VERDICT r4 #9): pure-host modules with no compile-heavy
+# JAX kernels, covering layers 0/2/4/5-IR/6/7 plus one tiny e2e proof
+# (test_fast_e2e.py). `python -m pytest tests/ -m fast -q` must stay <10 min
+# on one CPU core; measured runtime is recorded in README.md.
+FAST_MODULES = {
+    "test_fields",
+    "test_curves",
+    "test_transcript",
+    "test_properties",
+    "test_serde",
+    "test_mock_prover",
+    "test_dev_tools",
+    "test_utilities_gadgets",
+    "test_v1_floor_planner",
+    "test_circuit_params",
+    "test_hash_to_curve",
+    "test_poseidon_primitives",
+    "test_sinsemilla_primitives",
+    "test_pairing_finalexp",
+    "test_fast_e2e",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        if item.module.__name__ in FAST_MODULES and "slow" not in item.keywords:
+            item.add_marker(_pytest.mark.fast)
 
 
 import pytest  # noqa: E402
